@@ -1,0 +1,236 @@
+"""Typed configuration core + reference-compatible argparse shims.
+
+The reference (kushal-bhargav/multimodal_dataset_distillation) configures
+each entry point with its own argparse block (``buffer.py:118-161``,
+``distill.py:623-683``, ``distill_original.py:499-583``,
+``Buffer_ROCO_Test.py:281-323``).  Here a single typed :class:`Config`
+dataclass is the source of truth, and :func:`add_reference_flags` exposes
+the union of the reference's public flag names so existing command lines
+keep working (BASELINE pins ``--syn_steps --expert_epochs --lr_img
+--lr_txt --lr_lr --num_queries`` as must-preserve).
+
+Reference `type=bool` flags (an argparse footgun: any non-empty string is
+truthy) are re-exposed with a proper str->bool parser while keeping the
+flag names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+def _str2bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "1", "yes", "t", "y")
+
+
+@dataclass
+class Config:
+    """Union of the reference's public configuration surface, typed.
+
+    Field names mirror the reference flag names exactly (SURVEY.md §2.7).
+    TPU-specific additions live at the bottom and default to values that
+    reproduce reference semantics.
+    """
+
+    # ---- dataset / paths ----
+    dataset: str = "flickr"              # flickr | coco | roco | cifar10_vl | synthetic
+    image_root: str = "./Flickr30k/flickr-image-dataset/flickr30k-images/"
+    ann_root: str = "./Flickr30k/ann_file/"
+    data_path: str = "./data/Flickr30k/"
+    buffer_path: str = "./buffers"
+    save_dir: str = "./logged_files"
+
+    # ---- expert (buffer) phase ----
+    num_experts: int = 100
+    train_epochs: int = 50
+    lr_teacher_img: float = 0.1
+    lr_teacher_txt: float = 0.1
+    mom: float = 0.0
+    l2: float = 0.0
+    decay: bool = False
+    save_interval: int = 10
+
+    # ---- distillation phase ----
+    Iteration: int = 50000
+    syn_steps: int = 20
+    expert_epochs: int = 3
+    max_start_epoch: int = 25
+    num_queries: int = 100
+    mini_batch_size: int = 100
+    lr_img: float = 1000.0
+    lr_txt: float = 1000.0
+    lr_lr: float = 1e-3
+    pix_init: str = "real"               # real | noise
+    txt_init: str = "real"               # real | noise
+    max_files: Optional[int] = None
+    max_experts: Optional[int] = None
+    load_all: bool = False
+    texture: bool = False
+    canvas_size: int = 2
+    canvas_samples: int = 1
+    basis: bool = False
+    n_basis: int = 64
+    recursive: bool = False
+    optimize: str = "reparam"            # reparam | ift
+
+    # ---- evaluation ----
+    eval_it: int = 50
+    num_eval: int = 5
+    epoch_eval_train: int = 1
+    batch_train: int = 128
+    eval_mode: str = "S"
+    transfer: bool = False
+    std: bool = False
+    k_test: int = 128
+
+    # ---- model ----
+    image_encoder: str = "nfnet"         # nfnet | vit | nf_resnet50 | nf_regnet | resnet50 | resnet18 | resnet18_gn | convnet | ...
+    text_encoder: str = "bert"           # bert | clip
+    image_pretrained: bool = True
+    text_pretrained: bool = True
+    image_trainable: bool = True
+    text_trainable: bool = False
+    only_has_image_projection: bool = False
+    distill: bool = False
+    image_size: int = 224
+
+    # ---- augmentation ----
+    dsa: bool = True
+    dsa_strategy: str = "color_crop_cutout_flip_scale_rotate"
+    zca: bool = False
+    no_aug: bool = False
+
+    # ---- data loading ----
+    batch_size_train: int = 128
+    batch_size_test: int = 128
+    load_npy: bool = False
+    num_workers: int = 4
+
+    # ---- misc (reference surface) ----
+    draw: bool = True
+    force_save: bool = False
+    ipc: int = 1
+    name: str = field(
+        default_factory=lambda: datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    )
+    disable_wandb: bool = True
+    distributed: bool = False
+    margin: float = 0.2
+    measure: str = "cosine"
+    max_violation: bool = False
+    grounding: bool = False
+
+    # ---- TPU-native additions ----
+    # Numerics convention for the *inner* distillation loss logit scale.
+    #   "fixed":  raw log(1/0.07) ~= 2.659 (upstream distill_original.py:103,430)
+    #   "syn_lr": the learnable inner image LR doubles as the scale (fork distill.py:548)
+    inner_scale: str = "fixed"
+    # dtype of inner-unroll compute ("float32" for parity, "bfloat16" for speed)
+    inner_dtype: str = "float32"
+    # jax.checkpoint each inner step (memory/time tradeoff for long unrolls)
+    remat_inner: bool = True
+    # device mesh shape; data axis shards batches, model axis reserved.
+    mesh_shape: Tuple[int, ...] = ()
+    mesh_axes: Tuple[str, ...] = ("data",)
+    # tiny text-encoder for offline/CI runs (no HF weights needed)
+    text_encoder_config: str = "base"    # base | tiny
+    seed: int = 0
+    # synthetic (fake) dataset controls, used by dataset="synthetic" and tests
+    synthetic_size: int = 64
+    synthetic_test_size: int = 16
+    profile_dir: Optional[str] = None
+
+    # ---- derived / runtime (not flags) ----
+    lr_net: float = 0.1                  # set from learned syn_lr at eval time
+    device: str = "tpu"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def image_embedding(self) -> int:
+        """Projection target dim per image encoder (networks.py:810-819)."""
+        table = {
+            "nfnet": 1000 if self.transfer else 2304,
+            "convnet": 768,
+            "resnet18": 512,
+            "convnext": 640,
+        }
+        return table.get(self.image_encoder, 1000)
+
+    @property
+    def text_embedding(self) -> int:
+        """Text encoder output dim (networks.py:821-826)."""
+        if self.text_encoder == "clip":
+            return 512
+        if self.text_encoder == "bert":
+            return 768
+        raise NotImplementedError(f"Unsupported text encoder: {self.text_encoder}")
+
+
+# Flags whose reference declaration used `type=bool`; we parse them properly.
+_BOOL_VALUED = {
+    "text_pretrained", "image_pretrained", "text_trainable", "image_trainable",
+    "load_npy", "only_has_image_projection", "grounding", "distill", "draw",
+    "transfer", "std", "load_all", "texture", "recursive",
+}
+# Flags declared as store_true in the reference.
+_STORE_TRUE = {
+    "zca", "decay", "max_violation", "force_save", "disable_wandb",
+    "distributed", "no_aug", "basis",
+}
+# `--dsa` is a str choice {'True','False'} in the reference.
+_TRISTATE_STR = {"dsa"}
+
+
+def add_reference_flags(parser: argparse.ArgumentParser,
+                        defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    """Register the full union of reference flags on ``parser``."""
+    cfg = defaults or Config()
+    for f in dataclasses.fields(Config):
+        if f.name in ("mesh_shape", "mesh_axes", "lr_net", "device"):
+            continue
+        flag = f"--{f.name}"
+        default = getattr(cfg, f.name)
+        if f.name in _TRISTATE_STR:
+            parser.add_argument(flag, type=str, default="True" if default else "False",
+                                choices=["True", "False"])
+        elif f.name in _STORE_TRUE:
+            parser.add_argument(flag, action="store_true", default=default)
+        elif f.name in _BOOL_VALUED:
+            parser.add_argument(flag, type=_str2bool, default=default)
+        elif f.type in ("Optional[int]",) or f.name in ("max_files", "max_experts"):
+            parser.add_argument(flag, type=int, default=default)
+        elif isinstance(default, bool):
+            parser.add_argument(flag, type=_str2bool, default=default)
+        elif isinstance(default, int):
+            parser.add_argument(flag, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(flag, type=float, default=default)
+        else:
+            parser.add_argument(flag, type=str, default=default)
+    return parser
+
+
+def parse_config(argv: Optional[Sequence[str]] = None,
+                 defaults: Optional[Config] = None) -> Config:
+    """Parse a reference-style command line into a :class:`Config`.
+
+    Unknown flags are tolerated (reference uses ``parse_known_args`` at
+    ``distill.py:680``).
+    """
+    parser = argparse.ArgumentParser(description="Parameter Processing")
+    add_reference_flags(parser, defaults)
+    args, unknown = parser.parse_known_args(argv)
+    if unknown:
+        print("Warning: Ignoring unknown arguments:", unknown)
+    kw: Dict[str, Any] = vars(args)
+    kw["dsa"] = _str2bool(kw.get("dsa", "True"))
+    valid = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in kw.items() if k in valid})

@@ -1,0 +1,315 @@
+"""Bi-trajectory distillation engine — the heart of the framework.
+
+Reference algorithm (``distill_original.py:413-458`` as semantic spec,
+``distill.py:509-613`` as feature superset): per outer iteration, start a
+"student" at epoch ``t`` of a random expert trajectory, take ``syn_steps``
+SGD steps on minibatches of the synthetic data with gradients kept in the
+graph, and minimize
+
+    grand_loss =   ||theta_student - theta*||^2 / ||theta_t - theta*||^2   (image)
+                 + ||theta_student - theta*||^2 / ||theta_t - theta*||^2   (text)
+
+backpropagated through the whole unrolled inner optimization into the
+synthetic pixels, synthetic text embeddings, and the two learnable inner
+LRs, then step three outer SGD(momentum=0.5) optimizers
+(``distill_original.py:155-165``).
+
+TPU-native design: the student is just a flat vector (``ravel_pytree``) —
+what ``ReparamModule`` (reparam_module.py) fakes, JAX does natively.  The
+unroll is one ``lax.scan`` with per-step ``jax.checkpoint`` (the
+reference's CUDA-OOM guards, ``distill.py:522-575``, become a remat
+policy), and the meta-gradient is a single ``jax.grad`` over
+``(image_syn, text_syn, lr_img, lr_txt)`` instead of
+``create_graph=True`` + ``backward``.  Everything—both towers' unrolled
+updates and the outer step—is one jitted program per outer iteration;
+batches shard over the mesh ``data`` axis and parameter gradients are
+``psum``-reduced by XLA.
+
+Inner-loss logit scale conventions (cfg.inner_scale):
+  * "fixed":  raw log(1/0.07) (upstream, distill_original.py:103,430)
+  * "syn_lr": learnable inner image LR doubles as the scale
+    (fork, distill.py:548)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder
+from multimodal_dataset_distillation_tpu.ops.contrastive import RAW_LOG_SCALE
+from multimodal_dataset_distillation_tpu.utils.flat import make_unravel
+
+
+@flax.struct.dataclass
+class DistillState:
+    image_syn: jnp.ndarray          # (N, H, W, 3) learned pixels
+    text_syn: jnp.ndarray           # (N, text_dim) learned embeddings
+    syn_lr_img: jnp.ndarray         # scalar learnable inner LR (image)
+    syn_lr_txt: jnp.ndarray         # scalar learnable inner LR (text)
+    opt_img: Any
+    opt_txt: Any
+    opt_lr: Any
+
+
+def _sym_ce(logits: jnp.ndarray) -> jnp.ndarray:
+    n = logits.shape[0]
+    labels = jnp.arange(n)
+    li = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, 1),
+                                       labels[:, None], 1))
+    lt = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, 0),
+                                       labels[None, :], 0))
+    return (li + lt) / 2.0
+
+
+class Distiller:
+    """Owns the jitted outer step; host code feeds expert segments."""
+
+    def __init__(self, cfg: Config, model: VLBiEncoder,
+                 init_variables: Dict,
+                 image_syn: np.ndarray, text_syn: np.ndarray):
+        self.cfg = cfg
+        self.model = model
+        params = init_variables["params"]
+        self.img_size, self._unravel_img = make_unravel(params["image_encoder"])
+        self.txt_size, self._unravel_txt = make_unravel(params["text_projection"])
+        # non-param collections (e.g. batch_stats) ride along frozen at init
+        self._extra_state = {k: v for k, v in init_variables.items()
+                             if k != "params"}
+
+        self.tx_img = optax.sgd(cfg.lr_img, momentum=0.5)
+        self.tx_txt = optax.sgd(cfg.lr_txt, momentum=0.5)
+        self.tx_lr = optax.sgd(cfg.lr_lr, momentum=0.5)
+
+        image_syn = jnp.asarray(image_syn, jnp.float32)
+        text_syn = jnp.asarray(text_syn, jnp.float32)
+        self.state = DistillState(
+            image_syn=image_syn,
+            text_syn=text_syn,
+            syn_lr_img=jnp.asarray(cfg.lr_teacher_img, jnp.float32),
+            syn_lr_txt=jnp.asarray(cfg.lr_teacher_txt, jnp.float32),
+            opt_img=self.tx_img.init(image_syn),
+            opt_txt=self.tx_txt.init(text_syn),
+            opt_lr=self.tx_lr.init((jnp.asarray(cfg.lr_teacher_img, jnp.float32),
+                                    jnp.asarray(cfg.lr_teacher_txt, jnp.float32))),
+        )
+        self._step = self._build_step()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # -- functional towers over flat params ---------------------------------
+
+    def _img_forward(self, flat_theta, x, rng):
+        vs = {"params": {"image_encoder":
+                         self._unravel_img(flat_theta)}, **self._extra_state}
+        # students run in train mode (distill.py:446-447) — dropout active
+        return self.model.apply(vs, x, train=True, rngs={"dropout": rng},
+                                method=VLBiEncoder.encode_image)
+
+    def _txt_forward(self, flat_theta, y, rng):
+        vs = {"params": {"text_projection": self._unravel_txt(flat_theta)}}
+        return self.model.apply(vs, y, train=True, rngs={"dropout": rng},
+                                method=VLBiEncoder.project_text)
+
+    # -- the jitted outer step ----------------------------------------------
+
+    def _build_step(self):
+        cfg = self.cfg
+        inner_dtype = jnp.bfloat16 if cfg.inner_dtype == "bfloat16" else jnp.float32
+
+        def inner_step(lr_i, lr_t, image_syn, text_syn, carry, inp):
+            thi, tht = carry
+            idx, key = inp
+            x = image_syn[idx].astype(inner_dtype)
+            y = text_syn[idx].astype(inner_dtype)
+            ki, kt = jax.random.split(key)
+
+            def closs(a, b):
+                f = self._img_forward(a, x, ki).astype(jnp.float32)
+                g = self._txt_forward(b, y, kt).astype(jnp.float32)
+                f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+                g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+                scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
+                         else lr_i)
+                logits = scale * jnp.dot(f, g.T,
+                                         preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+                return _sym_ce(logits)
+
+            gi, gt = jax.grad(closs, argnums=(0, 1))(thi, tht)
+            return (thi - lr_i * gi, tht - lr_t * gt), None
+
+        def grand_loss(image_syn, text_syn, lr_i, lr_t,
+                       img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
+            f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
+            if cfg.remat_inner:
+                f = jax.checkpoint(f)
+            (thiF, thtF), _ = jax.lax.scan(f, (img_th0, txt_th0),
+                                           (idx_seq, keys))
+            img_loss = (jnp.sum((thiF - img_tgt) ** 2)
+                        / jnp.sum((img_th0 - img_tgt) ** 2))
+            txt_loss = (jnp.sum((thtF - txt_tgt) ** 2)
+                        / jnp.sum((txt_th0 - txt_tgt) ** 2))
+            return img_loss + txt_loss, (img_loss, txt_loss)
+
+        tx_img, tx_txt, tx_lr = self.tx_img, self.tx_txt, self.tx_lr
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: DistillState, img_th0, txt_th0, img_tgt, txt_tgt,
+                 idx_seq, rng):
+            keys = jax.random.split(rng, idx_seq.shape[0])
+            (loss, (img_loss, txt_loss)), grads = jax.value_and_grad(
+                grand_loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                    state.image_syn, state.text_syn,
+                    state.syn_lr_img, state.syn_lr_txt,
+                    img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys)
+            g_img, g_txt, g_li, g_lt = grads
+
+            upd_img, opt_img = tx_img.update(g_img, state.opt_img,
+                                             state.image_syn)
+            upd_txt, opt_txt = tx_txt.update(g_txt, state.opt_txt,
+                                             state.text_syn)
+            upd_lr, opt_lr = tx_lr.update((g_li, g_lt), state.opt_lr,
+                                          (state.syn_lr_img,
+                                           state.syn_lr_txt))
+            new_state = DistillState(
+                image_syn=optax.apply_updates(state.image_syn, upd_img),
+                text_syn=optax.apply_updates(state.text_syn, upd_txt),
+                syn_lr_img=optax.apply_updates(state.syn_lr_img, upd_lr[0]),
+                syn_lr_txt=optax.apply_updates(state.syn_lr_txt, upd_lr[1]),
+                opt_img=opt_img, opt_txt=opt_txt, opt_lr=opt_lr)
+            metrics = {"grand_loss": loss, "img_param_loss": img_loss,
+                       "txt_param_loss": txt_loss,
+                       "syn_lr_img_grad": g_li, "syn_lr_txt_grad": g_lt}
+            return new_state, metrics
+
+        return step
+
+    # -- host-side driver -----------------------------------------------------
+
+    def sample_indices(self, rng: np.random.RandomState) -> np.ndarray:
+        """(syn_steps, mini_batch_size) minibatch indices; per step a fresh
+        randperm prefix (distill_original.py:414-416)."""
+        n = int(self.state.image_syn.shape[0])
+        m = min(self.cfg.mini_batch_size, n)
+        return np.stack([rng.permutation(n)[:m]
+                         for _ in range(self.cfg.syn_steps)])
+
+    def step(self, img_th0: np.ndarray, txt_th0: np.ndarray,
+             img_tgt: np.ndarray, txt_tgt: np.ndarray,
+             idx_seq: np.ndarray) -> Dict[str, float]:
+        self.rng, sub = jax.random.split(self.rng)
+        self.state, metrics = self._step(
+            self.state, jnp.asarray(img_th0), jnp.asarray(txt_th0),
+            jnp.asarray(img_tgt), jnp.asarray(txt_tgt),
+            jnp.asarray(idx_seq), sub)
+        return metrics
+
+
+# ---------------------------------------------------------------------------
+# expert buffer cycling (distill.py:450-476, distill_original.py:186-196)
+# ---------------------------------------------------------------------------
+
+class ExpertCycler:
+    """Shuffle buffer files, walk trajectories, sample start epochs."""
+
+    def __init__(self, img_files: Sequence[str], txt_files: Sequence[str],
+                 max_start_epoch: int, expert_epochs: int,
+                 max_files: Optional[int] = None, seed: int = 0):
+        from multimodal_dataset_distillation_tpu.engine.buffer_io import load_buffer
+
+        self._load = load_buffer
+        self.rng = np.random.RandomState(seed)
+        if max_files:
+            img_files = list(img_files)[:max_files]
+            txt_files = list(txt_files)[:max_files]
+        self.img_files = list(img_files)
+        self.txt_files = list(txt_files)
+        if not self.img_files:
+            raise AssertionError("No buffers detected")
+        self.max_start_epoch = max_start_epoch
+        self.expert_epochs = expert_epochs
+        self._shuffle()
+        self.file_idx = 0
+        self.expert_idx = 0
+        self._load_current()
+
+    def _shuffle(self):
+        """shuffle_files (distill.py:79-87): same permutation both lists."""
+        perm = self.rng.permutation(len(self.img_files))
+        self.img_files = [self.img_files[i] for i in perm]
+        self.txt_files = [self.txt_files[i] for i in perm]
+
+    def _load_current(self):
+        self.img_buffer = self._load(self.img_files[self.file_idx])
+        self.txt_buffer = self._load(self.txt_files[self.file_idx])
+
+    def next_segment(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray, int]:
+        """-> (img_theta0, txt_theta0, img_target, txt_target, start_epoch)."""
+        img_traj = self.img_buffer[self.expert_idx]
+        txt_traj = self.txt_buffer[self.expert_idx]
+        self.expert_idx += 1
+        if self.expert_idx == len(self.img_buffer):
+            self.expert_idx = 0
+            self.file_idx += 1
+            if self.file_idx == len(self.img_files):
+                self.file_idx = 0
+                self._shuffle()
+            if len(self.img_files) > 1:
+                self._load_current()
+
+        hi = max(1, min(self.max_start_epoch,
+                        len(img_traj) - self.expert_epochs))
+        start = int(self.rng.randint(0, hi))
+        tgt = start + self.expert_epochs
+        return (img_traj[start], txt_traj[start],
+                img_traj[tgt], txt_traj[tgt], start)
+
+
+# ---------------------------------------------------------------------------
+# synthetic-data initialization (distill_original.py:65-86,138-148)
+# ---------------------------------------------------------------------------
+
+def get_images_texts(n: int, dataset, text_encoder,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample n random (transformed image, caption CLS embedding) pairs."""
+    rng = rng or np.random
+    idx = rng.permutation(len(dataset))[:n]
+    images = np.stack([dataset[i][0] for i in idx])
+    captions = [dataset[i][1] for i in idx]
+    texts = text_encoder.encode(captions)
+    return images.astype(np.float32), texts.astype(np.float32)
+
+
+# per-channel stats of CLIP-normalized natural images
+# (distill_original.py:139-144)
+PIX_NOISE_MEAN = np.array([-0.0626, -0.0221, 0.0680], np.float32)
+PIX_NOISE_STD = np.array([1.0451, 1.0752, 1.0539], np.float32)
+TXT_NOISE_MEAN, TXT_NOISE_STD = -0.0094, 0.5253
+
+
+def noise_images(n: int, image_size: int,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    rng = rng or np.random
+    x = rng.randn(n, image_size, image_size, 3).astype(np.float32)
+    return x * PIX_NOISE_STD + PIX_NOISE_MEAN
+
+
+def noise_texts(n: int, dim: int = 768,
+                rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    rng = rng or np.random
+    return (rng.randn(n, dim) * TXT_NOISE_STD + TXT_NOISE_MEAN).astype(np.float32)
+
+
+def dummy_trajectory(snapshot_params, copies: int = 2) -> List:
+    """Dummy-buffer bootstrap (distill.py:262-274): fabricate a trajectory
+    from a fresh init so distillation can run without phase 1."""
+    return [snapshot_params for _ in range(copies)]

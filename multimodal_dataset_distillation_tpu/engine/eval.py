@@ -1,0 +1,146 @@
+"""Retrieval evaluation engine: epoch_test, itm_eval, evaluate_synset.
+
+Reference semantics (``epoch_original.py:68-195``, BLIP-derived):
+* ``epoch_test``: project cached BERT test embeddings through
+  ``text_projection`` and l2-normalize; extract+normalize image embeddings
+  over the test loader; ``sims = exp(log(1/0.07)) * img @ txt.T``; keep
+  only the top ``k_test`` (=128) entries per row in each direction, others
+  filled with -100.
+* ``itm_eval``: ranks from the score matrices + ``img2txt``/``txt2img``
+  ground truth -> TR/IR R@1/5/10, per-direction means, overall r_mean.
+* ``evaluate_synset``: train a *fresh* bi-encoder on the synthetic set
+  (SGD momentum 0.9, wd 5e-4, lr = learned ``syn_lr``), then run the
+  retrieval eval.
+
+TPU-native: the whole scoring pipeline (projection, normalization, the
+scale-matmul, top-k masking) is one jitted program — the score matrix for
+Flickr (1000x5000) is tiny next to the encoders.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.data.pipeline import ArrayPairLoader
+from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder, build_bi_encoder
+from multimodal_dataset_distillation_tpu.ops.contrastive import (
+    FIXED_LOGIT_SCALE,
+    l2_normalize,
+)
+
+
+def topk_score_matrix(sims: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep top-k per row, fill the rest with -100 (epoch_original.py:95-105)."""
+    k = min(k, sims.shape[1])
+    vals, idx = jax.lax.top_k(sims, k)
+    out = jnp.full(sims.shape, -100.0, sims.dtype)
+    rows = jnp.arange(sims.shape[0])[:, None]
+    return out.at[rows, idx].set(vals)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test):
+    txt = model.apply(variables, txt_raw.astype(jnp.float32),
+                      method=VLBiEncoder.project_text)
+    txt = l2_normalize(txt)
+    img = l2_normalize(image_embeds.astype(jnp.float32))
+    sims = FIXED_LOGIT_SCALE * jnp.dot(img, txt.T,
+                                       preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return topk_score_matrix(sims, k_test), topk_score_matrix(sims.T, k_test)
+
+
+def epoch_test(testloader, model: VLBiEncoder, variables,
+               bert_test_embed: np.ndarray,
+               k_test: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """Score matrices (i2t, t2i) for a test loader; see module docstring."""
+
+    encode = jax.jit(lambda v, x: model.apply(
+        v, x, method=VLBiEncoder.encode_image))
+
+    chunks = []
+    pad_to = None
+    for images, _idx in testloader:
+        if pad_to is None:
+            pad_to = images.shape[0]  # first (full) batch size
+        n = images.shape[0]
+        if n < pad_to:  # pad final batch to keep shapes static
+            pad = np.repeat(images[:1], pad_to - n, axis=0)
+            feats = encode(variables, np.concatenate([images, pad]))[:n]
+        else:
+            feats = encode(variables, images)
+        chunks.append(l2_normalize(feats.astype(jnp.float32)))
+    image_embeds = jnp.concatenate(chunks, axis=0)
+
+    i2t, t2i = _score_fn(model, variables, image_embeds,
+                         jnp.asarray(bert_test_embed), k_test)
+    return np.asarray(i2t), np.asarray(t2i)
+
+
+def itm_eval(scores_i2t: np.ndarray, scores_t2i: np.ndarray,
+             txt2img: Dict[int, int], img2txt: Dict[int, list]) -> Dict[str, float]:
+    """Rank-based retrieval metrics (epoch_original.py:114-161)."""
+    # Images -> Text
+    ranks = np.zeros(scores_i2t.shape[0])
+    for index, score in enumerate(scores_i2t):
+        inds = np.argsort(score)[::-1]
+        rank = min(np.where(inds == i)[0][0] for i in img2txt[index])
+        ranks[index] = rank
+    tr1 = 100.0 * np.sum(ranks < 1) / len(ranks)
+    tr5 = 100.0 * np.sum(ranks < 5) / len(ranks)
+    tr10 = 100.0 * np.sum(ranks < 10) / len(ranks)
+
+    # Text -> Images
+    ranks = np.zeros(scores_t2i.shape[0])
+    for index, score in enumerate(scores_t2i):
+        inds = np.argsort(score)[::-1]
+        ranks[index] = np.where(inds == txt2img[index])[0][0]
+    ir1 = 100.0 * np.sum(ranks < 1) / len(ranks)
+    ir5 = 100.0 * np.sum(ranks < 5) / len(ranks)
+    ir10 = 100.0 * np.sum(ranks < 10) / len(ranks)
+
+    tr_mean = (tr1 + tr5 + tr10) / 3
+    ir_mean = (ir1 + ir5 + ir10) / 3
+    r_mean = (tr_mean + ir_mean) / 2
+    return {"txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10,
+            "txt_r_mean": tr_mean, "img_r1": ir1, "img_r5": ir5,
+            "img_r10": ir10, "img_r_mean": ir_mean, "r_mean": r_mean}
+
+
+def evaluate_synset(it_eval: int, model: VLBiEncoder, variables,
+                    images_train: np.ndarray, texts_train: np.ndarray,
+                    testloader, cfg: Config, bert_test_embed: np.ndarray,
+                    rng: Optional[jax.Array] = None):
+    """Train a fresh model on the synthetic set, then retrieval-eval it.
+
+    Reference: ``evaluate_synset`` (epoch_original.py:164-195) — SGD
+    momentum 0.9, weight decay 5e-4, lr = ``cfg.lr_net`` (the learned
+    ``syn_lr_img``), ``epoch_eval_train``+1 epochs, batch ``batch_train``.
+    """
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer,
+    )
+
+    trainer = BiEncoderTrainer(
+        model, variables, lr_img=float(cfg.lr_net), lr_txt=float(cfg.lr_net),
+        momentum=0.9, weight_decay=5e-4, seed=cfg.seed + it_eval)
+    loader = ArrayPairLoader(images_train, texts_train,
+                             batch_size=cfg.batch_train, shuffle=True,
+                             seed=cfg.seed + it_eval)
+    acc_list, loss_list = [], []
+    epochs = int(cfg.epoch_eval_train)
+    for ep in range(epochs + 1):
+        loss_avg, acc_avg = trainer.train_epoch_arrays(loader)
+        acc_list.append(acc_avg)
+        loss_list.append(loss_avg)
+    i2t, t2i = epoch_test(testloader, model, trainer.variables,
+                          bert_test_embed, cfg.k_test)
+    val_result = itm_eval(i2t, t2i, testloader.dataset.txt2img,
+                          testloader.dataset.img2txt)
+    return trainer.variables, acc_list, val_result

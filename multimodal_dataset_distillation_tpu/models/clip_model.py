@@ -1,0 +1,81 @@
+"""VLBiEncoder — the CLIP-style bi-encoder (CLIPModel_full equivalent).
+
+Reference: ``networks.py:805-889``.  Structure:
+* ``image_encoder``: any zoo tower (nfnet headless -> 2304-d, others 1000-d)
+* ``text_projection``: :class:`ProjectionHead` (text_dim -> image_embedding)
+* optional ``image_projection`` (only when ``only_has_image_projection``;
+  the reference applies it iff the attribute exists, ``networks.py:868``)
+* forward = symmetric InfoNCE with fixed scale ``exp(log(1/0.07))`` over
+  l2-normalized embeddings, returning ``(loss, acc)``
+  (``networks.py:877-888``).
+
+The frozen text encoder is *not* a submodule: in distill mode (or whenever
+the caption is already a tensor) the reference bypasses it
+(``networks.py:861-864``), and in expert mode its outputs are
+deterministic per caption — so this framework always feeds precomputed
+text features (from :class:`~.bert.TextEncoder` caches), keeping the
+jitted train step free of host round-trips.  The params tree splits
+cleanly into ``image_encoder`` / ``text_projection`` subtrees — the exact
+two parameter groups the reference optimizes and snapshots separately
+(``buffer.py:59-60,67-68``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.models.projection import ProjectionHead
+from multimodal_dataset_distillation_tpu.models.zoo import ImageTower, IMAGE_FEATURE_DIMS
+from multimodal_dataset_distillation_tpu.ops.contrastive import (
+    FIXED_LOGIT_SCALE,
+    contrastive_loss_and_acc,
+    l2_normalize,
+)
+
+
+class VLBiEncoder(nn.Module):
+    image_encoder_name: str = "nfnet"
+    text_embedding: int = 768
+    image_embedding: int = 2304          # projection target (networks.py:810-826)
+    only_image_projection: bool = False
+    transfer: bool = False
+
+    def setup(self):
+        self.image_encoder = ImageTower(self.image_encoder_name, self.transfer)
+        self.text_projection = ProjectionHead(
+            embedding_dim=self.text_embedding,
+            projection_dim=self.image_embedding)
+        if self.only_image_projection:
+            self.image_projection = ProjectionHead(
+                embedding_dim=self.image_embedding)
+
+    def encode_image(self, images: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        feats = self.image_encoder(images, train=train)
+        if self.only_image_projection:
+            feats = self.image_projection(feats, deterministic=not train)
+        return feats
+
+    def project_text(self, text_features: jnp.ndarray, *,
+                     train: bool = False) -> jnp.ndarray:
+        return self.text_projection(text_features, deterministic=not train)
+
+    def __call__(self, images: jnp.ndarray, text_features: jnp.ndarray, *,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        img = self.encode_image(images, train=train).astype(jnp.float32)
+        txt = self.project_text(text_features.astype(jnp.float32), train=train)
+        return contrastive_loss_and_acc(img, txt, FIXED_LOGIT_SCALE)
+
+
+def build_bi_encoder(cfg: Config) -> VLBiEncoder:
+    """Build from a :class:`Config` like ``CLIPModel_full(args, eval_stage)``."""
+    return VLBiEncoder(
+        image_encoder_name=cfg.image_encoder,
+        text_embedding=cfg.text_embedding,
+        image_embedding=cfg.image_embedding,
+        only_image_projection=cfg.only_has_image_projection,
+        transfer=cfg.transfer,
+    )

@@ -1,0 +1,149 @@
+"""Shared Flax building blocks for the model zoo.
+
+TPU-first notes: all convs lower to XLA convolutions tiled onto the MXU;
+weight standardization is folded into the conv weight at apply time (one
+cheap VPU pass over the kernel, fused by XLA).  NHWC layout throughout —
+the native TPU layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Expected gain of x -> act(x) under x~N(0,1); used by NF nets to preserve
+# unit variance without normalization layers ("normalizer-free" recipe,
+# Brock et al. 2021).  Values match the published constants.
+NONLIN_GAMMA = {
+    "identity": 1.0,
+    "celu": 1.270926833152771,
+    "elu": 1.2716004848480225,
+    "gelu": 1.7015043497085571,
+    "leaky_relu": 1.70590341091156,
+    "log_sigmoid": 1.9193484783172607,
+    "log_softmax": 1.0002083778381348,
+    "relu": 1.7139588594436646,
+    "relu6": 1.7131484746932983,
+    "selu": 1.0008515119552612,
+    "sigmoid": 4.803835391998291,
+    "silu": 1.7881293296813965,
+    "softsign": 2.338853120803833,
+    "softplus": 1.9203323125839233,
+    "tanh": 1.5939117670059204,
+}
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "sigmoid": jax.nn.sigmoid,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+
+def gamma_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Variance-preserving activation: gamma * act(x)."""
+    act = ACTIVATIONS[name]
+    gamma = NONLIN_GAMMA[name if name != "leakyrelu" else "leaky_relu"]
+    return lambda x: act(x) * gamma
+
+
+class WSConv(nn.Module):
+    """Scaled weight-standardized conv (NF-nets' ScaledStdConv2d).
+
+    weight' = gain * gamma * (w - mean(w)) / sqrt(var(w) * fan_in + eps)
+    with per-output-channel statistics and learnable per-channel ``gain``.
+    ``gamma`` is folded in by the caller via the variance-preserving
+    activation, so here gamma defaults to 1 (timm folds it into the conv;
+    both conventions are equivalent — we keep it in the conv like timm).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    gamma: float = 1.0
+    eps: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch // self.feature_group_count,
+                  self.features)
+        w = self.param("kernel", nn.initializers.he_normal(), kshape, jnp.float32)
+        gain = self.param("gain", nn.initializers.ones, (self.features,), jnp.float32)
+        fan_in = kshape[0] * kshape[1] * kshape[2]
+        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
+        scale = jax.lax.rsqrt(jnp.maximum(var * fan_in, self.eps))
+        w = (w - mean) * scale * (gain * self.gamma)[None, None, None, :]
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
+            x = x.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=self.strides,
+            padding=self.padding,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class SqueezeExcite(nn.Module):
+    """SE attention block (used by NFNet-L0 with rd_ratio=0.25)."""
+
+    features: int
+    rd_ratio: float = 0.25
+    rd_divisor: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        rd = max(int(self.features * self.rd_ratio), self.rd_divisor)
+        rd = int((rd + self.rd_divisor / 2) // self.rd_divisor * self.rd_divisor)
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(rd, name="fc1")(s)
+        s = jax.nn.relu(s)
+        s = nn.Dense(self.features, name="fc2")(s)
+        s = jax.nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: Optional[bool] = None) -> jnp.ndarray:
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask / keep
+
+
+def avg_pool(x: jnp.ndarray, window: int, stride: int,
+             padding: str = "VALID") -> jnp.ndarray:
+    return nn.avg_pool(x, (window, window), (stride, stride), padding)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int,
+             padding: str = "VALID") -> jnp.ndarray:
+    return nn.max_pool(x, (window, window), (stride, stride), padding)

@@ -1,0 +1,220 @@
+"""Normalizer-Free networks (NFNet-L0, NF-ResNet50, NF-RegNet-B1) in Flax.
+
+From-scratch TPU-native implementations of the reference's normalizer-free
+image encoders (``networks.py:666-672`` builds them via timm:
+``nfnet_l0``, ``nf_resnet50``, ``nf_regnet_b1``).  Normalizer-free
+backbones are the backbone family that makes trajectory matching work —
+no BatchNorm buffers to confound parameter matching (SURVEY.md §6 Table C;
+``reparam_module.py:67-74`` excludes buffers from the flat param) — and
+they are also ideal for this framework because they are *stateless*: a
+pure ``apply(params, x)`` with no mutable collections, so the distillation
+inner loop is a clean ``lax.scan`` over a flat parameter vector.
+
+Recipe (Brock et al., "High-Performance Large-Scale Image Recognition
+Without Normalization", 2021):
+  * scaled weight-standardized convs (:class:`~.layers.WSConv`)
+  * variance-preserving activations ``gamma * act(x)``
+  * residual branches scaled by ``beta = 1/expected_std`` on entry and
+    ``alpha`` on exit, with ``expected_std`` bookkeeping across blocks
+  * SE attention (applied after the final 1x1 conv, doubled)
+  * optional skip-init gain (zero-init scalar per block)
+
+All shapes NHWC; convs/matmuls sized for the MXU (channel counts are
+multiples of 8/64; feature dims 2304/2048 tile cleanly onto 128 lanes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_dataset_distillation_tpu.models.layers import (
+    DropPath,
+    SqueezeExcite,
+    WSConv,
+    gamma_act,
+    NONLIN_GAMMA,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NfConfig:
+    depths: Tuple[int, ...]
+    channels: Tuple[int, ...]
+    alpha: float = 0.2
+    stem_type: str = "deep_quad"          # deep_quad | 7x7_pool | 3x3
+    stem_chs: int = 128
+    group_size: Optional[int] = None      # channels per group in 3x3 convs
+    bottle_ratio: float = 0.25
+    extra_conv: bool = False              # second grouped 3x3 (NFNet blocks)
+    num_features: int = 0                 # final 1x1 conv width (0 = none)
+    act: str = "silu"
+    attn_rd_ratio: float = 0.0            # 0 disables SE
+    attn_gain: float = 2.0
+    skipinit: bool = True
+    drop_path_rate: float = 0.0
+    num_classes: int = 0                  # 0 = feature extractor (pooled)
+    drop_rate: float = 0.0
+
+
+# Flagship: timm `nfnet_l0` — depths (1,2,6,3), channels (256,512,1536,1536),
+# deep_quad stem, group 64, bottle 0.25, extra conv, SE rd 0.25, SiLU,
+# final features 1536*1.5 = 2304 (matches image_embedding=2304,
+# networks.py:812).
+NFNET_L0 = NfConfig(
+    depths=(1, 2, 6, 3), channels=(256, 512, 1536, 1536),
+    stem_type="deep_quad", stem_chs=128, group_size=64, bottle_ratio=0.25,
+    extra_conv=True, num_features=2304, act="silu", attn_rd_ratio=0.25,
+    skipinit=True, drop_path_rate=0.1,
+)
+
+# timm `nf_resnet50` — pre-act normalizer-free ResNet50, ReLU, no attention,
+# 7x7+pool stem, plain (ungrouped) 3x3, classifier kept (reference loads it
+# pretrained with the default 1000-class head, networks.py:670).
+NF_RESNET50 = NfConfig(
+    depths=(3, 4, 6, 3), channels=(256, 512, 1024, 2048),
+    stem_type="7x7_pool", stem_chs=64, group_size=None, bottle_ratio=0.25,
+    extra_conv=False, num_features=0, act="relu", attn_rd_ratio=0.0,
+    skipinit=False, num_classes=1000,
+)
+
+# timm `nf_regnet_b1` — EfficientNet-style inverted bottleneck RegNet,
+# grouped 3x3 (group 8), SE rd 0.5, SiLU, final conv 960, 1000-class head
+# (networks.py:672 keeps the classifier).
+NF_REGNET_B1 = NfConfig(
+    depths=(2, 4, 7, 7), channels=(48, 104, 208, 440),
+    stem_type="3x3", stem_chs=40, group_size=8, bottle_ratio=2.25,
+    extra_conv=False, num_features=960, act="silu", attn_rd_ratio=0.5,
+    skipinit=False, num_classes=1000,
+)
+
+
+class NfBlock(nn.Module):
+    cfg: NfConfig
+    out_chs: int
+    stride: int
+    beta: float
+    transition: bool
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        act = gamma_act(cfg.act)
+        gamma = 1.0  # WS gamma folded via gamma_act on the activations
+
+        if cfg.bottle_ratio >= 1.0:
+            # inverted bottleneck (NF-RegNet): expand from *input* width
+            mid = int(round(x.shape[-1] * cfg.bottle_ratio))
+        else:
+            mid = int(round(self.out_chs * cfg.bottle_ratio))
+        if cfg.group_size:
+            groups = max(1, mid // cfg.group_size)
+            mid = groups * cfg.group_size
+        else:
+            groups = 1
+
+        out = act(x) * self.beta
+        if self.transition:
+            sc = out
+            if self.stride > 1:
+                sc = nn.avg_pool(sc, (2, 2), (self.stride, self.stride), "SAME")
+            shortcut = WSConv(self.out_chs, (1, 1), name="downsample_conv")(sc)
+        else:
+            shortcut = x
+
+        out = WSConv(mid, (1, 1), name="conv1")(out)
+        out = act(out)
+        out = WSConv(mid, (3, 3), strides=(self.stride, self.stride),
+                     feature_group_count=groups, name="conv2")(out)
+        if cfg.extra_conv:
+            out = act(out)
+            out = WSConv(mid, (3, 3), feature_group_count=groups,
+                         name="conv2b")(out)
+        out = act(out)
+        out = WSConv(self.out_chs, (1, 1), name="conv3")(out)
+        if cfg.attn_rd_ratio > 0:
+            out = cfg.attn_gain * SqueezeExcite(
+                self.out_chs, rd_ratio=cfg.attn_rd_ratio, name="se")(out)
+        out = DropPath(self.drop_path, name="drop_path")(
+            out, deterministic=deterministic)
+        if cfg.skipinit:
+            g = self.param("skipinit_gain", nn.initializers.zeros, ())
+            out = out * g
+        return out * cfg.alpha + shortcut
+
+
+class NormFreeNet(nn.Module):
+    """Generic normalizer-free network over :class:`NfConfig`."""
+
+    cfg: NfConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 features_only: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        act = gamma_act(cfg.act)
+
+        # ---- stem ----
+        if cfg.stem_type == "deep_quad":
+            c = cfg.stem_chs
+            x = WSConv(c // 8, (3, 3), strides=(2, 2), name="stem_conv1")(x)
+            x = act(x)
+            x = WSConv(c // 4, (3, 3), name="stem_conv2")(x)
+            x = act(x)
+            x = WSConv(c // 2, (3, 3), name="stem_conv3")(x)
+            x = act(x)
+            x = WSConv(c, (3, 3), strides=(2, 2), name="stem_conv4")(x)
+        elif cfg.stem_type == "7x7_pool":
+            x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2), name="stem_conv")(x)
+            x = act(x)
+            x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        elif cfg.stem_type == "3x3":
+            x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2), name="stem_conv")(x)
+        else:
+            raise ValueError(cfg.stem_type)
+
+        # ---- stages ----
+        total_blocks = sum(cfg.depths)
+        block_idx = 0
+        expected_std = 1.0
+        for si, (depth, out_chs) in enumerate(zip(cfg.depths, cfg.channels)):
+            stride = 1 if si == 0 else 2
+            for bi in range(depth):
+                beta = 1.0 / expected_std
+                transition = bi == 0
+                dpr = cfg.drop_path_rate * block_idx / max(total_blocks - 1, 1)
+                x = NfBlock(cfg, out_chs, stride if bi == 0 else 1, beta,
+                            transition, drop_path=dpr,
+                            name=f"stage{si}_block{bi}")(
+                                x, deterministic=deterministic)
+                if transition:
+                    expected_std = 1.0
+                expected_std = (expected_std ** 2 + cfg.alpha ** 2) ** 0.5
+                block_idx += 1
+
+        # ---- head ----
+        if cfg.num_features:
+            x = WSConv(cfg.num_features, (1, 1), name="final_conv")(x)
+            x = act(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if features_only or cfg.num_classes == 0:
+            return x
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+        return nn.Dense(cfg.num_classes, name="head")(x)
+
+
+def nfnet_l0(num_classes: int = 0) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NFNET_L0, num_classes=num_classes))
+
+
+def nf_resnet50(num_classes: int = 1000) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NF_RESNET50, num_classes=num_classes))
+
+
+def nf_regnet_b1(num_classes: int = 1000) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NF_REGNET_B1, num_classes=num_classes))
