@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: distill-step throughput on the headline config (real TPU).
+
+Headline config (BASELINE.json #2): NFNet-L0 students + BERT-dim text
+projection, num_queries=100, syn_steps=8, mini_batch_size=100,
+expert_epochs=1 — one full outer distillation step = 8 unrolled inner SGD
+steps on both towers + meta-gradient through the whole unroll + 3 outer
+optimizer updates.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+``A100_REF_STEPS_PER_SEC`` is our measured-order estimate of the PyTorch
+reference on A100 for this config (create_graph double-backward through
+8 NFNet-L0 steps at batch 100; the reference needed OOM guards at this
+size, distill.py:522-575).  vs_baseline = ours / estimate; the BASELINE
+target is >= 3x.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_REF_STEPS_PER_SEC = 0.35  # estimated PyTorch reference on A100 (see doc)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
+    from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
+    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+    # scale down automatically on CPU so the bench is runnable anywhere
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        cfg = Config(image_encoder="nfnet", image_size=224, num_queries=100,
+                     syn_steps=8, mini_batch_size=100, expert_epochs=1,
+                     lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
+                     lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
+        iters, warmup = 10, 2
+    else:
+        cfg = Config(image_encoder="convnet_tiny", image_size=32,
+                     num_queries=16, syn_steps=4, mini_batch_size=8,
+                     lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
+        iters, warmup = 5, 1
+
+    model = build_bi_encoder(cfg)
+    variables = init_bi_encoder(model, cfg)
+    rng = np.random.RandomState(0)
+    image_syn = rng.randn(cfg.num_queries, cfg.image_size, cfg.image_size,
+                          3).astype(np.float32)
+    text_syn = rng.randn(cfg.num_queries, 768).astype(np.float32)
+
+    d = Distiller(cfg, model, variables, image_syn, text_syn)
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    img_th0 = np.asarray(img_flat)
+    txt_th0 = np.asarray(txt_flat)
+    img_tgt = img_th0 + 0.01 * rng.randn(*img_th0.shape).astype(np.float32)
+    txt_tgt = txt_th0 + 0.01 * rng.randn(*txt_th0.shape).astype(np.float32)
+
+    def one_step():
+        idx = d.sample_indices(rng)
+        m = d.step(img_th0, txt_th0, img_tgt, txt_tgt, idx)
+        return float(m["grand_loss"])  # sync
+
+    for _ in range(warmup):
+        loss = one_step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = one_step()
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    result = {
+        "metric": "distill_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "outer distill steps/sec (nfnet_l0+bert, nq=100, syn_steps=8, mb=100)"
+                if on_tpu else "outer distill steps/sec (CPU-scaled config)",
+        "vs_baseline": round(steps_per_sec / A100_REF_STEPS_PER_SEC, 3)
+                       if on_tpu else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Expert-trajectory trainer entry point (reference ``buffer.py``).
+
+Trains ``num_experts`` independent CLIP-style bi-encoders on the real
+dataset, snapshotting image-tower + text-projection parameters after every
+epoch, and saves each expert's trajectory pair as
+``{img,txt}_replay_buffer_{n}`` under
+``{buffer_path}/{dataset}/{image_encoder}/{text_encoder}``
+(``buffer.py:27-31,104-112``).
+
+TPU-native: the per-batch train step is one jitted program (batch sharded
+over the mesh ``data`` axis); the frozen BERT runs once up front into the
+caption-embedding cache instead of every batch.  Experts are fully
+independent — on multi-host deployments fan them out one-expert-per-host
+(SURVEY.md §2.6 "expert parallel").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_dataset_distillation_tpu.config import Config, parse_config
+from multimodal_dataset_distillation_tpu.data import get_dataset
+from multimodal_dataset_distillation_tpu.data.textcache import (
+    load_or_process_file,
+    make_text_encoder,
+    textprocess,
+    textprocess_train,
+)
+from multimodal_dataset_distillation_tpu.engine.buffer_io import save_expert
+from multimodal_dataset_distillation_tpu.engine.eval import epoch_test, itm_eval
+from multimodal_dataset_distillation_tpu.engine.expert import (
+    BiEncoderTrainer,
+    init_bi_encoder,
+)
+from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
+from multimodal_dataset_distillation_tpu.utils.logging import RunLogger, get_time
+
+
+def make_caption_lookup(train_dataset, cfg: Config, cache_dir: str = "."):
+    """caption string -> cached CLS embedding (frozen tower => exact)."""
+    sentences = train_dataset.get_all_captions()
+    cache = load_or_process_file("train_text", textprocess_train, cfg,
+                                 sentences, cache_dir=cache_dir)
+    embed = cache["bert_test_embed"].astype(np.float32)
+    index: Dict[str, int] = {}
+    for i, s in enumerate(sentences):
+        index.setdefault(s, i)
+
+    def lookup(captions: Sequence[str]) -> np.ndarray:
+        return embed[[index[c] for c in captions]]
+
+    return lookup, embed, sentences
+
+
+def main(cfg: Config) -> List[int]:
+    logger = RunLogger(name=cfg.name, config=vars(cfg) if hasattr(cfg, "__dict__") else None,
+                       disable_wandb=cfg.disable_wandb, log_dir=cfg.save_dir)
+    print("Hyper-parameters: \n", cfg)
+
+    save_dir = os.path.join(cfg.buffer_path, cfg.dataset)
+    if cfg.dataset in ("CIFAR10", "CIFAR100") and not cfg.zca:
+        save_dir += "_NO_ZCA"
+    save_dir = os.path.join(save_dir, cfg.image_encoder, cfg.text_encoder)
+    os.makedirs(save_dir, exist_ok=True)
+
+    trainloader, testloader, train_dataset, test_dataset = get_dataset(cfg)
+    data = load_or_process_file("text", textprocess, cfg, testloader)
+    bert_test_embed = data["bert_test_embed"].astype(np.float32)
+    print(f"The shape of bert_test_embed: {bert_test_embed.shape}")
+    caption_lookup, _, _ = make_caption_lookup(train_dataset, cfg)
+
+    if cfg.text_trainable:
+        raise NotImplementedError(
+            "text_trainable=True (training the full BERT tower) is not yet "
+            "supported; the reference default (frozen text encoder + "
+            "trainable projection) is the supported path (buffer.py:49-50)")
+
+    saved: List[int] = []
+    for it in range(cfg.num_experts):
+        model = build_bi_encoder(cfg)
+        variables = init_bi_encoder(model, cfg.replace(seed=cfg.seed + it))
+        trainer = BiEncoderTrainer(
+            model, variables, lr_img=cfg.lr_teacher_img,
+            lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
+            seed=cfg.seed + it)
+
+        img_traj = [trainer.snapshot_image_params()]
+        txt_traj = [trainer.snapshot_text_params()]
+        lr_img, lr_txt = cfg.lr_teacher_img, cfg.lr_teacher_txt
+        lr_schedule = [cfg.train_epochs // 2 + 1]
+
+        for e in range(cfg.train_epochs):
+            train_loss, train_acc = trainer.train_epoch_captions(
+                trainloader, caption_lookup)
+            i2t, t2i = epoch_test(testloader, model, trainer.variables,
+                                  bert_test_embed, cfg.k_test)
+            val = itm_eval(i2t, t2i, testloader.dataset.txt2img,
+                           testloader.dataset.img2txt)
+            logger.log({"train_loss": train_loss, "train_acc": train_acc,
+                        **val})
+            print(f"Itr: {it}\tEpoch: {e}\tTrain Acc: {train_acc:.4f}\t"
+                  f"Img R@1: {val['img_r1']:.2f} R@5: {val['img_r5']:.2f} "
+                  f"R@10: {val['img_r10']:.2f}\t"
+                  f"Txt R@1: {val['txt_r1']:.2f} R@5: {val['txt_r5']:.2f} "
+                  f"R@10: {val['txt_r10']:.2f}")
+            img_traj.append(trainer.snapshot_image_params())
+            txt_traj.append(trainer.snapshot_text_params())
+
+            if e in lr_schedule and cfg.decay:
+                lr_img *= 0.1
+                lr_txt *= 0.1
+                trainer.reset_optimizers(lr_img, lr_txt, cfg.mom, cfg.l2)
+
+        n = save_expert(save_dir, img_traj, txt_traj)
+        print(f"Saved expert {it} -> buffer index {n} in {save_dir}")
+        saved.append(n)
+    logger.finish()
+    return saved
+
+
+if __name__ == "__main__":
+    main(parse_config(defaults=Config(image_encoder="nfnet")))

@@ -1,0 +1,184 @@
+"""Bi-trajectory distillation entry point (reference ``distill.py`` /
+``distill_original.py``).
+
+Flow (distill_original.py:89-496 as spec; fork features folded in):
+1. data + text-embedding caches
+2. synthetic init: random real pairs (or noise, --pix_init/--txt_init)
+3. three outer SGD(momentum 0.5) optimizers: images, texts, inner-LRs
+4. discover + shuffle expert buffers (dummy-buffer bootstrap when none
+   exist, distill.py:262-274)
+5. outer loop: [eval every eval_it its -> evaluate_synset x num_eval with
+   fresh models at lr_net = learned syn_lr_img, mean/std logging,
+   visualization/artifact saving] then one jitted distill step
+   (unrolled syn_steps inner SGD + meta-gradient + outer updates)
+6. NaN bailout (distill.py:599)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import numpy as np
+
+from multimodal_dataset_distillation_tpu.config import Config, parse_config
+from multimodal_dataset_distillation_tpu.cli.buffer import make_caption_lookup
+from multimodal_dataset_distillation_tpu.data import get_dataset
+from multimodal_dataset_distillation_tpu.data.textcache import (
+    load_or_process_file,
+    make_text_encoder,
+    textprocess,
+)
+from multimodal_dataset_distillation_tpu.engine.buffer_io import (
+    discover_buffers,
+    flatten_snapshot,
+)
+from multimodal_dataset_distillation_tpu.engine.distill import (
+    Distiller,
+    ExpertCycler,
+    dummy_trajectory,
+    get_images_texts,
+    noise_images,
+    noise_texts,
+)
+from multimodal_dataset_distillation_tpu.engine.eval import evaluate_synset
+from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
+from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
+from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+from multimodal_dataset_distillation_tpu.utils.logging import RunLogger, get_time
+from multimodal_dataset_distillation_tpu.utils.visualize import save_visualizations
+
+
+def _bootstrap_dummy_buffers(cfg: Config, expert_dir: str) -> None:
+    """Fabricate a 1-expert trajectory from a fresh init (distill.py:262-274)
+    so distillation can run end-to-end without phase 1."""
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import save_expert
+
+    print(f"No buffers at {expert_dir}; fabricating dummy buffers")
+    model = build_bi_encoder(cfg)
+    variables = init_bi_encoder(model, cfg)
+    img = variables["params"]["image_encoder"]
+    txt = variables["params"]["text_projection"]
+    copies = max(cfg.expert_epochs + 1, 2)
+    save_expert(expert_dir, dummy_trajectory(img, copies),
+                dummy_trajectory(txt, copies), write_pt=False)
+
+
+def main(cfg: Config):
+    logger = RunLogger(name=cfg.name, disable_wandb=cfg.disable_wandb,
+                       log_dir=cfg.save_dir)
+    print("Hyper-parameters: \n", cfg)
+
+    trainloader, testloader, train_dataset, test_dataset = get_dataset(cfg)
+    train_sentences = train_dataset.get_all_captions()
+    data = load_or_process_file("text", textprocess, cfg, testloader)
+    bert_test_embed = data["bert_test_embed"].astype(np.float32)
+    caption_lookup, train_caption_embed, _ = make_caption_lookup(
+        train_dataset, cfg)
+
+    rng = np.random.RandomState(cfg.seed)
+
+    # ---- synthetic data init (distill_original.py:137-148) ----
+    text_encoder = make_text_encoder(cfg)
+    image_syn, text_syn = get_images_texts(cfg.num_queries, train_dataset,
+                                           text_encoder, rng)
+    if cfg.pix_init == "noise":
+        image_syn = noise_images(cfg.num_queries, cfg.image_size, rng)
+        print("Initialized synthetic image from random noise")
+    if cfg.txt_init == "noise":
+        text_syn = noise_texts(cfg.num_queries, text_encoder.hidden_size, rng)
+        print("Initialized synthetic text from random noise")
+
+    # ---- student template + distiller ----
+    student_cfg = cfg.replace(distill=True)
+    model = build_bi_encoder(student_cfg)
+    variables = init_bi_encoder(model, student_cfg)
+    distiller = Distiller(student_cfg, model, variables, image_syn, text_syn)
+
+    # ---- expert buffers (distill_original.py:170-196) ----
+    expert_dir = cfg.buffer_path
+    nested = os.path.join(cfg.buffer_path, cfg.dataset, cfg.image_encoder,
+                          cfg.text_encoder)
+    if not discover_buffers(expert_dir)[0] and discover_buffers(nested)[0]:
+        expert_dir = nested
+    print(f"Expert Dir: {expert_dir}")
+    if not discover_buffers(expert_dir)[0]:
+        _bootstrap_dummy_buffers(student_cfg, expert_dir)
+    img_files, txt_files = discover_buffers(expert_dir)
+    cycler = ExpertCycler(img_files, txt_files, cfg.max_start_epoch,
+                          cfg.expert_epochs, cfg.max_files, seed=cfg.seed)
+
+    # sanity: buffer width must match this student's flat size
+    seg = cycler.img_buffer[0]
+    if seg.shape[1] != distiller.img_size:
+        raise ValueError(
+            f"expert buffer param size {seg.shape[1]} != student flat size "
+            f"{distiller.img_size} — buffers were written for a different "
+            f"image encoder or config")
+
+    eval_it_pool = set(np.arange(0, cfg.Iteration + 1, cfg.eval_it).tolist())
+    history = []
+
+    for it in range(cfg.Iteration + 1):
+        # ---- evaluation block (distill_original.py:201-283) ----
+        if it in eval_it_pool and cfg.num_eval > 0:
+            results = []
+            for it_eval in range(cfg.num_eval):
+                eval_cfg = cfg.replace(
+                    distill=True, lr_net=float(distiller.state.syn_lr_img))
+                eval_model = build_bi_encoder(eval_cfg)
+                eval_vars = init_bi_encoder(
+                    eval_model, eval_cfg.replace(seed=cfg.seed + 1000 + it_eval))
+                img_eval = np.asarray(distiller.state.image_syn)
+                txt_eval = np.asarray(distiller.state.text_syn)
+                _, acc, val = evaluate_synset(
+                    it_eval, eval_model, eval_vars, img_eval, txt_eval,
+                    testloader, eval_cfg, bert_test_embed)
+                results.append(val)
+                print(f"Evaluate_{it_eval:02d}: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+                if not cfg.std:
+                    logger.log(val, step=it)
+            if cfg.std and results:
+                agg = {}
+                for k in results[0]:
+                    vals = [r[k] for r in results]
+                    agg[f"Mean/{k}"] = float(np.mean(vals))
+                    agg[f"Std/{k}"] = float(np.std(vals))
+                logger.log(agg, step=it)
+            history.append((it, results))
+
+            if cfg.draw:
+                run_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)
+                save_visualizations(
+                    run_dir, it, np.asarray(distiller.state.image_syn),
+                    np.asarray(distiller.state.text_syn), train_sentences,
+                    train_caption_embed)
+
+        logger.log({"Synthetic_LR_Image": float(distiller.state.syn_lr_img),
+                    "Synthetic_LR_Text": float(distiller.state.syn_lr_txt)},
+                   step=it)
+
+        # ---- one outer step ----
+        img_th0, txt_th0, img_tgt, txt_tgt, start_epoch = cycler.next_segment()
+        idx_seq = distiller.sample_indices(rng)
+        metrics = distiller.step(img_th0, txt_th0, img_tgt, txt_tgt, idx_seq)
+
+        grand = float(metrics["grand_loss"])
+        if math.isnan(float(metrics["img_param_loss"])):
+            print("NaN param loss — stopping (distill.py:599)")
+            break
+        logger.log({"Grand_Loss": grand, "Start_Epoch": start_epoch,
+                    "img_param_loss": float(metrics["img_param_loss"]),
+                    "txt_param_loss": float(metrics["txt_param_loss"])},
+                   step=it)
+        if it % 10 == 0:
+            print(f"{get_time()} iter = {it:04d}, loss = {grand:.4f}")
+
+    logger.finish()
+    return distiller, history
+
+
+if __name__ == "__main__":
+    main(parse_config(defaults=Config(image_encoder="nfnet", Iteration=5000)))

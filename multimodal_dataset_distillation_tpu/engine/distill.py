@@ -74,9 +74,11 @@ class Distiller:
 
     def __init__(self, cfg: Config, model: VLBiEncoder,
                  init_variables: Dict,
-                 image_syn: np.ndarray, text_syn: np.ndarray):
+                 image_syn: np.ndarray, text_syn: np.ndarray,
+                 mesh=None):
         self.cfg = cfg
         self.model = model
+        self.mesh = mesh  # jax.sharding.Mesh for data-parallel inner batches
         params = init_variables["params"]
         self.img_size, self._unravel_img = make_unravel(params["image_encoder"])
         self.txt_size, self._unravel_txt = make_unravel(params["text_projection"])
@@ -88,17 +90,19 @@ class Distiller:
         self.tx_txt = optax.sgd(cfg.lr_txt, momentum=0.5)
         self.tx_lr = optax.sgd(cfg.lr_lr, momentum=0.5)
 
-        image_syn = jnp.asarray(image_syn, jnp.float32)
-        text_syn = jnp.asarray(text_syn, jnp.float32)
+        # outer state dtype: f32 unless running the f64 verification mode
+        sdt = jnp.float64 if cfg.inner_dtype == "float64" else jnp.float32
+        image_syn = jnp.asarray(image_syn, sdt)
+        text_syn = jnp.asarray(text_syn, sdt)
         self.state = DistillState(
             image_syn=image_syn,
             text_syn=text_syn,
-            syn_lr_img=jnp.asarray(cfg.lr_teacher_img, jnp.float32),
-            syn_lr_txt=jnp.asarray(cfg.lr_teacher_txt, jnp.float32),
+            syn_lr_img=jnp.asarray(cfg.lr_teacher_img, sdt),
+            syn_lr_txt=jnp.asarray(cfg.lr_teacher_txt, sdt),
             opt_img=self.tx_img.init(image_syn),
             opt_txt=self.tx_txt.init(text_syn),
-            opt_lr=self.tx_lr.init((jnp.asarray(cfg.lr_teacher_img, jnp.float32),
-                                    jnp.asarray(cfg.lr_teacher_txt, jnp.float32))),
+            opt_lr=self.tx_lr.init((jnp.asarray(cfg.lr_teacher_img, sdt),
+                                    jnp.asarray(cfg.lr_teacher_txt, sdt))),
         )
         self._step = self._build_step()
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -121,25 +125,40 @@ class Distiller:
 
     def _build_step(self):
         cfg = self.cfg
-        inner_dtype = jnp.bfloat16 if cfg.inner_dtype == "bfloat16" else jnp.float32
+        inner_dtype = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+            cfg.inner_dtype, jnp.float32)
+        # embeddings/logits dtype: never below f32
+        out_dtype = jnp.float64 if inner_dtype == jnp.float64 else jnp.float32
+
+        mesh = self.mesh
 
         def inner_step(lr_i, lr_t, image_syn, text_syn, carry, inp):
             thi, tht = carry
             idx, key = inp
             x = image_syn[idx].astype(inner_dtype)
             y = text_syn[idx].astype(inner_dtype)
+            if mesh is not None and "data" in mesh.axis_names:
+                # DataParallel semantics (buffer.py:51-53 / distill.py:443-445
+                # in TPU form): minibatch sharded over the mesh data axis,
+                # flat params replicated; XLA psums the param grads over ICI.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data", None, None, None)))
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, P("data", None)))
             ki, kt = jax.random.split(key)
 
             def closs(a, b):
-                f = self._img_forward(a, x, ki).astype(jnp.float32)
-                g = self._txt_forward(b, y, kt).astype(jnp.float32)
+                f = self._img_forward(a, x, ki).astype(out_dtype)
+                g = self._txt_forward(b, y, kt).astype(out_dtype)
                 f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
                 g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
                 scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
                          else lr_i)
                 logits = scale * jnp.dot(f, g.T,
-                                         preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                                         preferred_element_type=out_dtype,
+                                         precision=jax.lax.Precision.HIGHEST)
                 return _sym_ce(logits)
 
             gi, gt = jax.grad(closs, argnums=(0, 1))(thi, tht)
@@ -159,6 +178,8 @@ class Distiller:
             return img_loss + txt_loss, (img_loss, txt_loss)
 
         tx_img, tx_txt, tx_lr = self.tx_img, self.tx_txt, self.tx_lr
+        # exposed for gradient-correctness tests (finite differences)
+        self.grand_loss = grand_loss
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: DistillState, img_th0, txt_th0, img_tgt, txt_tgt,
@@ -309,7 +330,22 @@ def noise_texts(n: int, dim: int = 768,
     return (rng.randn(n, dim) * TXT_NOISE_STD + TXT_NOISE_MEAN).astype(np.float32)
 
 
-def dummy_trajectory(snapshot_params, copies: int = 2) -> List:
+def dummy_trajectory(snapshot_params, copies: int = 2,
+                     rng: Optional[np.random.RandomState] = None) -> List:
     """Dummy-buffer bootstrap (distill.py:262-274): fabricate a trajectory
-    from a fresh init so distillation can run without phase 1."""
-    return [snapshot_params for _ in range(copies)]
+    from a fresh init so distillation can run without phase 1.
+
+    Unlike the reference (whose dummy path saves a single-snapshot,
+    wrongly-nested container that the loader then mis-indexes), successive
+    snapshots get a small random perturbation: identical start/target
+    parameters would make the normalized trajectory loss 0/0 -> inf and
+    trip the NaN bailout on iteration 0, defeating the bootstrap.
+    """
+    rng = rng or np.random.RandomState(0)
+    out = [snapshot_params]
+    for _ in range(copies - 1):
+        prev = out[-1]
+        out.append(jax.tree_util.tree_map(
+            lambda x: np.asarray(x) + 1e-3 * rng.randn(*np.shape(x)).astype(
+                np.asarray(x).dtype) if np.ndim(x) else x, prev))
+    return out

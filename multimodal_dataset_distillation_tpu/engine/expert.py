@@ -158,5 +158,5 @@ def init_bi_encoder(model: VLBiEncoder, cfg: Config,
     """Initialize variables with the right input shapes."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    txts = jnp.zeros((2, cfg.text_embedding), jnp.float32)
+    txts = jnp.zeros((2, model.text_embedding), jnp.float32)
     return model.init({"params": rng, "dropout": rng}, imgs, txts)

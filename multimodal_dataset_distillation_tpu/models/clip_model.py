@@ -71,11 +71,26 @@ class VLBiEncoder(nn.Module):
 
 
 def build_bi_encoder(cfg: Config) -> VLBiEncoder:
-    """Build from a :class:`Config` like ``CLIPModel_full(args, eval_stage)``."""
+    """Build from a :class:`Config` like ``CLIPModel_full(args, eval_stage)``.
+
+    Dims come from the actual towers: the projection target must equal the
+    image tower's feature dim for the contrastive dot product (in the
+    reference the dim table at ``networks.py:810-819`` encodes exactly the
+    feature dims of its timm towers).  Text dim follows the configured
+    text encoder (768 for BERT-base, 128 for the offline tiny variant).
+    """
+    dim_key = ("nfnet_transfer" if (cfg.image_encoder == "nfnet"
+                                    and cfg.transfer) else cfg.image_encoder)
+    image_dim = IMAGE_FEATURE_DIMS.get(dim_key, cfg.image_embedding)
+    text_dim = cfg.text_embedding
+    if cfg.text_encoder == "bert" and cfg.text_encoder_config == "tiny":
+        from multimodal_dataset_distillation_tpu.models.bert import BERT_TINY
+
+        text_dim = BERT_TINY.hidden_size
     return VLBiEncoder(
         image_encoder_name=cfg.image_encoder,
-        text_embedding=cfg.text_embedding,
-        image_embedding=cfg.image_embedding,
+        text_embedding=text_dim,
+        image_embedding=image_dim,
         only_image_projection=cfg.only_has_image_projection,
         transfer=cfg.transfer,
     )

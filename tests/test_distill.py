@@ -1,0 +1,141 @@
+"""Distillation engine correctness: meta-gradients, state updates, NaN guard.
+
+The one place exactness matters most (SURVEY.md §4c): finite-difference
+check of d(trajectory loss)/d(image_syn, text_syn, syn_lr) on a tiny
+model, run in float64 where FD is numerically meaningful.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
+from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder
+from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+
+def tiny_setup(num_queries=8, syn_steps=2, image_size=16,
+               inner_scale="fixed", inner_dtype="float32", dtype=np.float32):
+    cfg = Config(
+        image_encoder="convnet_tiny", image_size=image_size,
+        num_queries=num_queries, syn_steps=syn_steps, mini_batch_size=4,
+        lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
+        lr_teacher_img=0.05, lr_teacher_txt=0.05,
+        inner_scale=inner_scale, inner_dtype=inner_dtype, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+    variables = jax.tree_util.tree_map(lambda x: x.astype(dtype), variables)
+    rng = np.random.RandomState(0)
+    image_syn = rng.randn(num_queries, image_size, image_size, 3).astype(dtype)
+    text_syn = rng.randn(num_queries, 768).astype(dtype)
+    d = Distiller(cfg, model, variables, image_syn, text_syn)
+
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    img_th0 = np.asarray(img_flat)
+    txt_th0 = np.asarray(txt_flat)
+    img_tgt = (img_th0 + 0.01 * rng.randn(*img_th0.shape)).astype(dtype)
+    txt_tgt = (txt_th0 + 0.01 * rng.randn(*txt_th0.shape)).astype(dtype)
+    return cfg, d, img_th0, txt_th0, img_tgt, txt_tgt
+
+
+def test_step_updates_state_and_is_finite():
+    cfg, d, i0, t0, it, tt = tiny_setup()
+    before_img = np.asarray(d.state.image_syn).copy()
+    before_lr = float(d.state.syn_lr_img)
+    idx = d.sample_indices(np.random.RandomState(0))
+    m = d.step(i0, t0, it, tt, idx)
+    assert np.isfinite(float(m["grand_loss"]))
+    assert float(m["img_param_loss"]) > 0
+    assert not np.allclose(np.asarray(d.state.image_syn), before_img)
+    assert float(d.state.syn_lr_img) != before_lr
+
+
+@pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
+def test_meta_gradient_finite_difference(inner_scale):
+    with jax.enable_x64():
+        cfg, d, i0, t0, it, tt = tiny_setup(
+            inner_scale=inner_scale, inner_dtype="float64", dtype=np.float64)
+        idx = jnp.asarray(d.sample_indices(np.random.RandomState(1)))
+        keys = jax.random.split(jax.random.PRNGKey(7), cfg.syn_steps)
+        args = (d.state.image_syn, d.state.text_syn,
+                d.state.syn_lr_img, d.state.syn_lr_txt,
+                jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+                jnp.asarray(tt), idx, keys)
+
+        loss_f = lambda *a: d.grand_loss(*a)[0]
+        grads = jax.grad(loss_f, argnums=(0, 1, 2, 3))(*args)
+
+        def loss_at(image_syn, text_syn, lr_i, lr_t):
+            return float(loss_f(image_syn, text_syn, lr_i, lr_t, *args[4:]))
+
+        # FD on the two learnable inner LRs
+        eps = 1e-6
+        for k, name in ((2, "lr_img"), (3, "lr_txt")):
+            a = list(args[:4])
+            a[k] = args[k] + eps
+            up = loss_at(*a)
+            a[k] = args[k] - eps
+            down = loss_at(*a)
+            fd = (up - down) / (2 * eps)
+            an = float(grads[k])
+            assert np.isfinite(fd) and np.isfinite(an)
+            assert abs(fd - an) < 1e-4 * max(1.0, abs(fd)), (name, fd, an)
+
+        # directional FD on synthetic pixels / text embeddings
+        rng = np.random.RandomState(3)
+        eps = 1e-5
+        for k, name in ((0, "pixels"), (1, "texts")):
+            v = rng.randn(*args[k].shape)
+            v /= np.linalg.norm(v)
+            v = jnp.asarray(v)
+            a = list(args[:4])
+            a[k] = args[k] + eps * v
+            up = loss_at(*a)
+            a[k] = args[k] - eps * v
+            down = loss_at(*a)
+            fd = (up - down) / (2 * eps)
+            an = float(jnp.vdot(grads[k], v))
+            assert np.isfinite(fd) and np.isfinite(an)
+            assert abs(fd - an) < 1e-3 * max(1e-8, abs(fd), abs(an)), \
+                (name, fd, an)
+
+
+def test_zero_steps_matches_start():
+    # zero inner LR -> student never moves -> normalized losses == 1 exactly
+    cfg, d, i0, t0, it, tt = tiny_setup(syn_steps=1)
+    idx = jnp.asarray(d.sample_indices(np.random.RandomState(2)))
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    loss, (il, tl) = d.grand_loss(
+        d.state.image_syn, d.state.text_syn,
+        jnp.asarray(0.0), jnp.asarray(0.0),
+        jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it), jnp.asarray(tt),
+        idx, keys)
+    assert abs(float(il) - 1.0) < 1e-5
+    assert abs(float(tl) - 1.0) < 1e-5
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint must not change the meta-gradient."""
+    cfg, d, i0, t0, it, tt = tiny_setup()
+    cfg2 = cfg.replace(remat_inner=False)
+    model = d.model
+    d2 = Distiller(cfg2, model,
+                   {"params": {"image_encoder": d._unravel_img(jnp.asarray(i0)),
+                               "text_projection": d._unravel_txt(jnp.asarray(t0))}},
+                   np.asarray(d.state.image_syn), np.asarray(d.state.text_syn))
+    idx = jnp.asarray(d.sample_indices(np.random.RandomState(4)))
+    keys = jax.random.split(jax.random.PRNGKey(5), cfg.syn_steps)
+    args = (d.state.image_syn, d.state.text_syn,
+            d.state.syn_lr_img, d.state.syn_lr_txt,
+            jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+            jnp.asarray(tt), idx, keys)
+    g1 = jax.grad(lambda *a: d.grand_loss(*a)[0], argnums=(0, 2))(*args)
+    g2 = jax.grad(lambda *a: d2.grand_loss(*a)[0], argnums=(0, 2))(*args)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(g1[1]), float(g2[1]), rtol=1e-4)

@@ -1,0 +1,113 @@
+"""End-to-end slice: expert training -> buffer file -> distillation -> eval.
+
+SURVEY.md §7 minimum slice / BASELINE config #1 analog, fully offline:
+tiny synthetic VL dataset, convnet_tiny encoder, tiny BERT, 1 expert x 2
+epochs -> buffer -> distiller (num_queries=8, syn_steps=2, 3 iterations)
+-> evaluate_synset producing R@k.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_dataset_distillation_tpu.config import Config
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    return Config(
+        dataset="synthetic", synthetic_size=32, synthetic_test_size=8,
+        image_encoder="convnet_tiny", image_size=16,
+        text_encoder_config="tiny", text_pretrained=False,
+        num_experts=1, train_epochs=2,
+        lr_teacher_img=0.05, lr_teacher_txt=0.05,
+        batch_size_train=8, batch_size_test=8, batch_train=8,
+        num_queries=8, syn_steps=2, mini_batch_size=4, expert_epochs=1,
+        max_start_epoch=2, Iteration=3, eval_it=3, num_eval=1,
+        epoch_eval_train=1, k_test=4, num_workers=2,
+        buffer_path=str(root / "buffers"), save_dir=str(root / "logs"),
+        disable_wandb=True, draw=True, seed=0)
+
+
+@pytest.fixture(scope="module")
+def _chdir_tmp(tmp_path_factory):
+    # text-embed npz caches write to CWD-relative paths
+    d = tmp_path_factory.mktemp("cwd")
+    old = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(old)
+
+
+def test_full_pipeline(tiny_cfg, _chdir_tmp):
+    from multimodal_dataset_distillation_tpu.cli.buffer import main as buffer_main
+    from multimodal_dataset_distillation_tpu.cli.distill import main as distill_main
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import discover_buffers
+
+    # phase 1: expert trajectories
+    saved = buffer_main(tiny_cfg)
+    assert saved == [0]
+    save_dir = os.path.join(tiny_cfg.buffer_path, "synthetic",
+                            "convnet_tiny", "bert")
+    img_files, txt_files = discover_buffers(save_dir)
+    assert len(img_files) == 1 and len(txt_files) == 1
+    # .pt interop artifact exists too
+    assert any(f.endswith((".pt", ".npz")) for f in img_files)
+    assert os.path.exists(os.path.join(save_dir, "img_replay_buffer_0.pt"))
+
+    # phase 2+3: distillation with periodic evaluation
+    distill_cfg = tiny_cfg.replace(buffer_path=save_dir)
+    distiller, history = distill_main(distill_cfg)
+
+    # loss was finite and the synthetic data moved
+    assert np.isfinite(float(distiller.state.syn_lr_img))
+    # eval produced retrieval metrics with all keys
+    assert history, "no eval results recorded"
+    _, results = history[0]
+    assert set(results[0]) == {"txt_r1", "txt_r5", "txt_r10", "txt_r_mean",
+                               "img_r1", "img_r5", "img_r10", "img_r_mean",
+                               "r_mean"}
+    # artifacts: PNG grid + sentences + distilled tensors
+    run_dirs = os.path.join(distill_cfg.save_dir, "synthetic")
+    assert os.path.isdir(run_dirs)
+    found = []
+    for root, _dirs, files in os.walk(run_dirs):
+        found.extend(files)
+    assert any(f.startswith("synthetic_images_") for f in found)
+    assert any(f.startswith("synthetic_sentences_") for f in found)
+    assert any(f.startswith("distilled_") for f in found)
+
+
+def test_buffer_pt_roundtrip(tmp_path):
+    """torch .pt container format round-trips through our codec."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import (
+        load_buffer,
+        save_trajectories_pt,
+        stack_trajectory,
+    )
+    from multimodal_dataset_distillation_tpu.models.projection import ProjectionHead
+
+    m = ProjectionHead(embedding_dim=8, projection_dim=4)
+    p0 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))["params"]
+    p1 = jax.tree_util.tree_map(lambda x: x + 1.0, p0)
+    traj = [p0, p1]
+
+    path = str(tmp_path / "img_replay_buffer_0.pt")
+    save_trajectories_pt(path, [traj])
+    loaded = load_buffer(path)
+    assert len(loaded) == 1
+    np.testing.assert_allclose(loaded[0], stack_trajectory(traj), rtol=1e-6)
+
+    # and torch itself can read the file in the reference's shape
+    import torch
+
+    payload = torch.load(path, weights_only=False)
+    assert isinstance(payload, list)            # list of trajectories
+    assert isinstance(payload[0], list)         # list of snapshots
+    assert isinstance(payload[0][0], list)      # list of per-param tensors
+    assert all(isinstance(t, torch.Tensor) for t in payload[0][0])

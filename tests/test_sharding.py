@@ -1,0 +1,75 @@
+"""Multi-device (8 virtual CPU) data-parallel tests + graft entry checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_dataset_distillation_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    shard_batch,
+)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_and_batch_sharding():
+    mesh = get_mesh((8,), ("data",))
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_dp_train_step_matches_single_device():
+    """Sharded expert train step == replicated step (DataParallel parity)."""
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer,
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder
+
+    cfg = Config(image_encoder="convnet_tiny", image_size=16, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+
+    rng = np.random.RandomState(0)
+    images = rng.randn(16, 16, 16, 3).astype(np.float32)
+    texts = rng.randn(16, 768).astype(np.float32)
+
+    t1 = BiEncoderTrainer(model, variables, lr_img=0.1, lr_txt=0.1, seed=0)
+    loss1, acc1 = t1.train_batch(images, texts)
+
+    mesh = get_mesh((8,), ("data",))
+    t2 = BiEncoderTrainer(model, variables, lr_img=0.1, lr_txt=0.1, seed=0)
+    sharded = shard_batch(mesh, {"img": images, "txt": texts})
+    loss2, acc2 = t2.train_batch(sharded["img"], sharded["txt"])
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    assert float(acc1) == float(acc2)
+    # parameters after the step agree
+    for a, b in zip(jax.tree_util.tree_leaves(t1.variables["params"]),
+                    jax.tree_util.tree_leaves(t2.variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # tiny-shape compile sanity is too slow for nfnet on CPU here; just
+    # validate the callable signature contract on an abstract eval
+    out = jax.eval_shape(fn, *args)
+    assert len(out) == 2  # (loss, acc)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
