@@ -20,13 +20,20 @@ from multimodal_dataset_distillation_tpu.config import Config
 from multimodal_dataset_distillation_tpu.models.bert import TextEncoder
 
 
-def make_text_encoder(cfg: Config) -> TextEncoder:
-    if cfg.text_encoder != "bert":
-        raise NotImplementedError(
-            f"text encoder '{cfg.text_encoder}' not yet supported on TPU "
-            "(reference supports bert|clip; clip text tower is a roadmap item)")
-    return TextEncoder(variant=cfg.text_encoder_config,
-                       pretrained=cfg.text_pretrained, seed=cfg.seed)
+def make_text_encoder(cfg: Config):
+    """bert -> BERT CLS tower; clip -> CLIP EOT tower (networks.py:693-737)."""
+    if cfg.text_encoder == "bert":
+        return TextEncoder(variant=cfg.text_encoder_config,
+                           pretrained=cfg.text_pretrained, seed=cfg.seed)
+    if cfg.text_encoder == "clip":
+        from multimodal_dataset_distillation_tpu.models.clip_text import (
+            ClipTextEncoder,
+        )
+
+        return ClipTextEncoder(variant=cfg.text_encoder_config,
+                               pretrained=cfg.text_pretrained, seed=cfg.seed)
+    raise NotImplementedError(
+        f"Unsupported text encoder: {cfg.text_encoder}")
 
 
 def textprocess(cfg: Config, testloader, encoder: Optional[TextEncoder] = None,

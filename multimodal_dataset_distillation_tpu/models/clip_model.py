@@ -83,10 +83,17 @@ def build_bi_encoder(cfg: Config) -> VLBiEncoder:
                                     and cfg.transfer) else cfg.image_encoder)
     image_dim = IMAGE_FEATURE_DIMS.get(dim_key, cfg.image_embedding)
     text_dim = cfg.text_embedding
-    if cfg.text_encoder == "bert" and cfg.text_encoder_config == "tiny":
-        from multimodal_dataset_distillation_tpu.models.bert import BERT_TINY
+    if cfg.text_encoder_config == "tiny":
+        if cfg.text_encoder == "bert":
+            from multimodal_dataset_distillation_tpu.models.bert import BERT_TINY
 
-        text_dim = BERT_TINY.hidden_size
+            text_dim = BERT_TINY.hidden_size
+        elif cfg.text_encoder == "clip":
+            from multimodal_dataset_distillation_tpu.models.clip_text import (
+                CLIP_TEXT_TINY,
+            )
+
+            text_dim = CLIP_TEXT_TINY.embed_dim
     return VLBiEncoder(
         image_encoder_name=cfg.image_encoder,
         text_embedding=text_dim,

@@ -35,6 +35,10 @@ IMAGE_FEATURE_DIMS = {
     "resnet18_gn": 512,
     "convnet": 768,
     "convnet_tiny": 64,
+    # OpenAI CLIP ViT-B/32 encode_image is 512-d (networks.py:659-661,
+    # 679-680; the reference's else-branch "1000" at networks.py:819 is a
+    # latent bug — see models/clip_vision.py)
+    "clip": 512,
 }
 
 
@@ -60,6 +64,10 @@ def _build(name: str, transfer: bool = False) -> nn.Module:
         # CI-sized encoder: exercises every code path at toy cost
         return _convnet.ConvNet(num_classes=64, net_width=16, net_depth=2,
                                 gap=True)
+    if name == "clip":
+        from multimodal_dataset_distillation_tpu.models import clip_vision
+
+        return clip_vision.ClipVisionTransformer()
     raise ValueError(f"unknown image encoder: {name}")
 
 
@@ -79,6 +87,8 @@ class ImageTower(nn.Module):
         name = self.encoder_name
         m = _build(name, self.transfer)
         if isinstance(m, (_nfnet.NormFreeNet, _vit.VisionTransformer)):
+            return m(x, deterministic=not train)
+        if name == "clip":
             return m(x, deterministic=not train)
         return m(x, train=train)
 
