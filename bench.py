@@ -51,6 +51,12 @@ def main():
                      lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
         iters, warmup = 5, 1
 
+    # optional env overrides for perf experiments
+    if os.environ.get("BENCH_INNER_DTYPE"):
+        cfg = cfg.replace(inner_dtype=os.environ["BENCH_INNER_DTYPE"])
+    if os.environ.get("BENCH_REMAT"):
+        cfg = cfg.replace(remat_inner=os.environ["BENCH_REMAT"] == "1")
+
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)
     rng = np.random.RandomState(0)
@@ -63,12 +69,17 @@ def main():
     txt_flat, _ = flatten_params(variables["params"]["text_projection"])
     img_th0 = np.asarray(img_flat)
     txt_th0 = np.asarray(txt_flat)
-    img_tgt = img_th0 + 0.01 * rng.randn(*img_th0.shape).astype(np.float32)
-    txt_tgt = txt_th0 + 0.01 * rng.randn(*txt_th0.shape).astype(np.float32)
+    # synthetic 2-epoch expert trajectory, resident in HBM (the production
+    # path: trajectories are device_put once per buffer file and segments
+    # are sliced on device — see Distiller.step_traj)
+    traj_img = d.put_trajectory(np.stack(
+        [img_th0, img_th0 + 0.01 * rng.randn(*img_th0.shape).astype(np.float32)]))
+    traj_txt = d.put_trajectory(np.stack(
+        [txt_th0, txt_th0 + 0.01 * rng.randn(*txt_th0.shape).astype(np.float32)]))
 
     def one_step():
         idx = d.sample_indices(rng)
-        m = d.step(img_th0, txt_th0, img_tgt, txt_tgt, idx)
+        m = d.step_traj(traj_img, traj_txt, 0, idx)
         return float(m["grand_loss"])  # sync
 
     for _ in range(warmup):

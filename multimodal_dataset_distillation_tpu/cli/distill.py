@@ -120,7 +120,20 @@ def main(cfg: Config):
     eval_it_pool = set(np.arange(0, cfg.Iteration + 1, cfg.eval_it).tolist())
     history = []
 
-    for it in range(cfg.Iteration + 1):
+    # ---- mid-run resume (SURVEY.md §5.4 gap in the reference) ----
+    from multimodal_dataset_distillation_tpu.engine.checkpoint import (
+        load_distill_checkpoint,
+        save_distill_checkpoint,
+    )
+
+    start_it = 0
+    if cfg.resume_from:
+        start_it = load_distill_checkpoint(cfg.resume_from, distiller,
+                                           cycler=cycler, host_rng=rng) + 1
+        print(f"Resumed from {cfg.resume_from} at iteration {start_it}")
+    ckpt_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)
+
+    for it in range(start_it, cfg.Iteration + 1):
         # ---- evaluation block (distill_original.py:201-283) ----
         if it in eval_it_pool and cfg.num_eval > 0:
             results = []
@@ -160,10 +173,10 @@ def main(cfg: Config):
                     "Synthetic_LR_Text": float(distiller.state.syn_lr_txt)},
                    step=it)
 
-        # ---- one outer step ----
-        img_th0, txt_th0, img_tgt, txt_tgt, start_epoch = cycler.next_segment()
+        # ---- one outer step (HBM-resident expert trajectories) ----
+        traj_img, traj_txt, start_epoch = cycler.next_segment_device()
         idx_seq = distiller.sample_indices(rng)
-        metrics = distiller.step(img_th0, txt_th0, img_tgt, txt_tgt, idx_seq)
+        metrics = distiller.step_traj(traj_img, traj_txt, start_epoch, idx_seq)
 
         grand = float(metrics["grand_loss"])
         if math.isnan(float(metrics["img_param_loss"])):
@@ -175,6 +188,11 @@ def main(cfg: Config):
                    step=it)
         if it % 10 == 0:
             print(f"{get_time()} iter = {it:04d}, loss = {grand:.4f}")
+        if cfg.ckpt_it and it % cfg.ckpt_it == 0 and it > start_it:
+            p = save_distill_checkpoint(
+                os.path.join(ckpt_dir, f"distill_ckpt_{it}.msgpack"),
+                distiller, it, cycler=cycler, host_rng=rng)
+            print(f"Checkpointed outer loop -> {p}")
 
     logger.finish()
     return distiller, history

@@ -145,6 +145,11 @@ class Config:
     synthetic_size: int = 64
     synthetic_test_size: int = 16
     profile_dir: Optional[str] = None
+    # mid-run checkpoint/resume of the outer distillation loop (a gap in
+    # the reference, SURVEY.md §5.4): save every ckpt_it iterations (0 =
+    # off), resume from a distill_ckpt_*.msgpack path
+    ckpt_it: int = 0
+    resume_from: str = ""
 
     # ---- derived / runtime (not flags) ----
     lr_net: float = 0.1                  # set from learned syn_lr at eval time

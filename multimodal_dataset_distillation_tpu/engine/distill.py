@@ -109,15 +109,24 @@ class Distiller:
 
     # -- functional towers over flat params ---------------------------------
 
-    def _img_forward(self, flat_theta, x, rng):
-        vs = {"params": {"image_encoder":
-                         self._unravel_img(flat_theta)}, **self._extra_state}
+    def _img_forward(self, flat_theta, x, rng, dtype=jnp.float32):
+        params = self._unravel_img(flat_theta)
+        if dtype != jnp.float32:
+            # bf16 compute mode: params cast inside the graph, so the
+            # gradient w.r.t. the f32 flat carry flows through the cast
+            # and accumulates in f32 (mixed precision a la the fork's AMP
+            # epoch, epoch.py:79 — but on the distillation hot path).
+            params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        vs = {"params": {"image_encoder": params}, **self._extra_state}
         # students run in train mode (distill.py:446-447) — dropout active
         return self.model.apply(vs, x, train=True, rngs={"dropout": rng},
                                 method=VLBiEncoder.encode_image)
 
-    def _txt_forward(self, flat_theta, y, rng):
-        vs = {"params": {"text_projection": self._unravel_txt(flat_theta)}}
+    def _txt_forward(self, flat_theta, y, rng, dtype=jnp.float32):
+        params = self._unravel_txt(flat_theta)
+        if dtype != jnp.float32:
+            params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        vs = {"params": {"text_projection": params}}
         return self.model.apply(vs, y, train=True, rngs={"dropout": rng},
                                 method=VLBiEncoder.project_text)
 
@@ -150,8 +159,8 @@ class Distiller:
             ki, kt = jax.random.split(key)
 
             def closs(a, b):
-                f = self._img_forward(a, x, ki).astype(out_dtype)
-                g = self._txt_forward(b, y, kt).astype(out_dtype)
+                f = self._img_forward(a, x, ki, inner_dtype).astype(out_dtype)
+                g = self._txt_forward(b, y, kt, inner_dtype).astype(out_dtype)
                 f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
                 g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
                 scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
@@ -181,10 +190,8 @@ class Distiller:
         # exposed for gradient-correctness tests (finite differences)
         self.grand_loss = grand_loss
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state: DistillState, img_th0, txt_th0, img_tgt, txt_tgt,
-                 idx_seq, rng):
-            keys = jax.random.split(rng, idx_seq.shape[0])
+        def outer_update(state, img_th0, txt_th0, img_tgt, txt_tgt,
+                         idx_seq, keys):
             (loss, (img_loss, txt_loss)), grads = jax.value_and_grad(
                 grand_loss, argnums=(0, 1, 2, 3), has_aux=True)(
                     state.image_syn, state.text_syn,
@@ -210,6 +217,38 @@ class Distiller:
                        "syn_lr_img_grad": g_li, "syn_lr_txt_grad": g_lt}
             return new_state, metrics
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: DistillState, img_th0, txt_th0, img_tgt, txt_tgt,
+                 idx_seq, rng):
+            keys = jax.random.split(rng, idx_seq.shape[0])
+            return outer_update(state, img_th0, txt_th0, img_tgt, txt_tgt,
+                                idx_seq, keys)
+
+        expert_epochs = cfg.expert_epochs
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_traj(state: DistillState, traj_img, traj_txt, start,
+                      idx_seq, rng):
+            """Device-resident expert segment: slice theta_0/theta* out of
+            the full (T, P) trajectories in HBM instead of uploading
+            ~160 MB of flat parameters from host every outer iteration
+            (the reference re-flattens expert params to GPU per iteration,
+            distill.py:471-476 — on TPU the whole buffer lives in HBM)."""
+            keys = jax.random.split(rng, idx_seq.shape[0])
+            img_th0 = jax.lax.dynamic_index_in_dim(traj_img, start, 0,
+                                                   keepdims=False)
+            txt_th0 = jax.lax.dynamic_index_in_dim(traj_txt, start, 0,
+                                                   keepdims=False)
+            img_tgt = jax.lax.dynamic_index_in_dim(traj_img,
+                                                   start + expert_epochs, 0,
+                                                   keepdims=False)
+            txt_tgt = jax.lax.dynamic_index_in_dim(traj_txt,
+                                                   start + expert_epochs, 0,
+                                                   keepdims=False)
+            return outer_update(state, img_th0, txt_th0, img_tgt, txt_tgt,
+                                idx_seq, keys)
+
+        self._step_traj = step_traj
         return step
 
     # -- host-side driver -----------------------------------------------------
@@ -231,6 +270,25 @@ class Distiller:
             jnp.asarray(img_tgt), jnp.asarray(txt_tgt),
             jnp.asarray(idx_seq), sub)
         return metrics
+
+    def step_traj(self, traj_img, traj_txt, start: int,
+                  idx_seq: np.ndarray) -> Dict[str, float]:
+        """Outer step with HBM-resident expert trajectories (fast path).
+
+        ``traj_img``/``traj_txt`` are (T, P) device arrays (put once via
+        :meth:`put_trajectory`); only ``start`` and the minibatch indices
+        cross the host->device boundary per iteration.
+        """
+        self.rng, sub = jax.random.split(self.rng)
+        self.state, metrics = self._step_traj(
+            self.state, traj_img, traj_txt, np.int32(start),
+            jnp.asarray(idx_seq), sub)
+        return metrics
+
+    @staticmethod
+    def put_trajectory(traj: np.ndarray) -> jnp.ndarray:
+        """Host (T, P) float32 stacked trajectory -> device array."""
+        return jax.device_put(jnp.asarray(traj, jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -256,6 +314,7 @@ class ExpertCycler:
             raise AssertionError("No buffers detected")
         self.max_start_epoch = max_start_epoch
         self.expert_epochs = expert_epochs
+        self._device_cache: Dict[int, Tuple[Any, Any]] = {}
         self._shuffle()
         self.file_idx = 0
         self.expert_idx = 0
@@ -270,10 +329,12 @@ class ExpertCycler:
     def _load_current(self):
         self.img_buffer = self._load(self.img_files[self.file_idx])
         self.txt_buffer = self._load(self.txt_files[self.file_idx])
+        # drop device copies of the previous file's trajectories
+        self._device_cache.clear()
 
-    def next_segment(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                    np.ndarray, int]:
-        """-> (img_theta0, txt_theta0, img_target, txt_target, start_epoch)."""
+    def _advance(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """-> (img_traj (T,P), txt_traj (T,Pt), start_epoch); walks the
+        expert/file cursors exactly like distill.py:450-465."""
         img_traj = self.img_buffer[self.expert_idx]
         txt_traj = self.txt_buffer[self.expert_idx]
         self.expert_idx += 1
@@ -289,9 +350,35 @@ class ExpertCycler:
         hi = max(1, min(self.max_start_epoch,
                         len(img_traj) - self.expert_epochs))
         start = int(self.rng.randint(0, hi))
+        return img_traj, txt_traj, start
+
+    def next_segment(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray, int]:
+        """-> (img_theta0, txt_theta0, img_target, txt_target, start_epoch)."""
+        img_traj, txt_traj, start = self._advance()
         tgt = start + self.expert_epochs
         return (img_traj[start], txt_traj[start],
                 img_traj[tgt], txt_traj[tgt], start)
+
+    def next_segment_device(self) -> Tuple[Any, Any, int]:
+        """-> (device img_traj, device txt_traj, start_epoch).
+
+        Trajectories are device_put once per (file, expert) and cached, so
+        repeated passes over the same buffers (the common case: Iteration
+        >> num_experts) transfer nothing — theta_0/theta* are sliced out
+        of HBM inside the jitted step.
+        """
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        img_traj, txt_traj, start = self._advance()
+        key = id(img_traj)
+        hit = self._device_cache.get(key)
+        if hit is None:
+            hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
+                   _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)))
+            self._device_cache[key] = hit
+        return hit[0], hit[1], start
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,44 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(float(g1[1]), float(g2[1]), rtol=1e-4)
+
+
+def test_step_traj_matches_step():
+    """HBM-resident trajectory path == explicit-segment path."""
+    cfg, d, i0, t0, it, tt = tiny_setup()
+    idx = d.sample_indices(np.random.RandomState(0))
+    rng_snapshot = d.rng
+
+    m1 = d.step(i0, t0, it, tt, idx)
+    state1 = jax.tree_util.tree_map(np.asarray, d.state)
+
+    # rebuild a fresh distiller with the same seed, drive via step_traj
+    cfg2, d2, *_ = tiny_setup()
+    d2.rng = rng_snapshot
+    # expert_epochs=3 by default: build a trajectory where index 0 is
+    # theta_0 and index cfg.expert_epochs is theta*
+    T = cfg.expert_epochs + 1
+    traj_img = np.stack([i0] + [it] * (T - 1))
+    traj_txt = np.stack([t0] + [tt] * (T - 1))
+    m2 = d2.step_traj(d2.put_trajectory(traj_img),
+                      d2.put_trajectory(traj_txt), 0, idx)
+    state2 = jax.tree_util.tree_map(np.asarray, d2.state)
+
+    np.testing.assert_allclose(float(m1["grand_loss"]),
+                               float(m2["grand_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(state1.image_syn, state2.image_syn,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(state1.text_syn, state2.text_syn,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_inner_mode_runs_and_tracks_f32():
+    """bf16 inner compute: finite, same sign/ballpark as f32 loss."""
+    _, d32, i0, t0, it, tt = tiny_setup(inner_dtype="float32")
+    _, d16, *_ = tiny_setup(inner_dtype="bfloat16")
+    idx = d32.sample_indices(np.random.RandomState(0))
+    m32 = d32.step(i0, t0, it, tt, idx)
+    m16 = d16.step(i0, t0, it, tt, idx)
+    a, b = float(m32["grand_loss"]), float(m16["grand_loss"])
+    assert np.isfinite(b)
+    assert abs(a - b) / max(abs(a), 1e-6) < 0.2  # coarse agreement
