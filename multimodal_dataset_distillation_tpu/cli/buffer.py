@@ -80,6 +80,12 @@ def main(cfg: Config) -> List[int]:
             "trainable projection) is the supported path (buffer.py:49-50)")
 
     saved: List[int] = []
+    if cfg.parallel_experts > 1:
+        saved = _run_parallel(cfg, save_dir, trainloader, testloader,
+                              caption_lookup, bert_test_embed, logger)
+        logger.finish()
+        return saved
+
     for it in range(cfg.num_experts):
         model = build_bi_encoder(cfg)
         variables = init_bi_encoder(model, cfg.replace(seed=cfg.seed + it))
@@ -119,6 +125,70 @@ def main(cfg: Config) -> List[int]:
         print(f"Saved expert {it} -> buffer index {n} in {save_dir}")
         saved.append(n)
     logger.finish()
+    return saved
+
+
+def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
+                  caption_lookup, bert_test_embed, logger) -> List[int]:
+    """Expert-parallel phase 1: vmap K experts into one XLA program
+    (SURVEY.md §2.6 row EP — the reference trains them sequentially)."""
+    from multimodal_dataset_distillation_tpu.data.pipeline import Loader
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        ParallelExpertTrainer,
+    )
+    from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
+
+    mesh = None
+    if cfg.mesh_shape:
+        mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    if cfg.decay:
+        print("Warning: --decay LR schedule not applied in expert-parallel "
+              "mode; run with --parallel_experts=1 for decayed experts")
+
+    saved: List[int] = []
+    it0 = 0
+    while it0 < cfg.num_experts:
+        k = min(cfg.parallel_experts, cfg.num_experts - it0)
+        model = build_bi_encoder(cfg)
+        var_list = [init_bi_encoder(model, cfg.replace(seed=cfg.seed + it0 + j))
+                    for j in range(k)]
+        trainer = ParallelExpertTrainer(
+            model, var_list, lr_img=cfg.lr_teacher_img,
+            lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
+            seed=cfg.seed + it0, mesh=mesh)
+        # one batch stream per expert (reference per-expert shuffling)
+        loaders = [Loader(trainloader.dataset, trainloader.batch_size,
+                          shuffle=True, drop_last=True,
+                          num_workers=cfg.num_workers,
+                          seed=cfg.seed + 7919 * (it0 + j))
+                   for j in range(k)]
+
+        img_trajs = [[trainer.snapshot_image_params(j)] for j in range(k)]
+        txt_trajs = [[trainer.snapshot_text_params(j)] for j in range(k)]
+
+        for e in range(cfg.train_epochs):
+            losses, accs = trainer.train_epoch_captions(loaders,
+                                                        caption_lookup)
+            for j in range(k):
+                i2t, t2i = epoch_test(testloader, model,
+                                      trainer.variables_for(j),
+                                      bert_test_embed, cfg.k_test)
+                val = itm_eval(i2t, t2i, testloader.dataset.txt2img,
+                               testloader.dataset.img2txt)
+                logger.log({"train_loss": float(losses[j]),
+                            "train_acc": float(accs[j]), **val})
+                print(f"Itr: {it0 + j}\tEpoch: {e}\t"
+                      f"Train Acc: {float(accs[j]):.4f}\t"
+                      f"Img R@1: {val['img_r1']:.2f}\t"
+                      f"Txt R@1: {val['txt_r1']:.2f}")
+                img_trajs[j].append(trainer.snapshot_image_params(j))
+                txt_trajs[j].append(trainer.snapshot_text_params(j))
+
+        for j in range(k):
+            n = save_expert(save_dir, img_trajs[j], txt_trajs[j])
+            print(f"Saved expert {it0 + j} -> buffer index {n} in {save_dir}")
+            saved.append(n)
+        it0 += k
     return saved
 
 

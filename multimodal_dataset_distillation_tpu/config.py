@@ -150,6 +150,10 @@ class Config:
     # off), resume from a distill_ckpt_*.msgpack path
     ckpt_it: int = 0
     resume_from: str = ""
+    # expert-parallel training: vmap K independent experts into one XLA
+    # program (the reference trains them sequentially, buffer.py:42);
+    # shards over the mesh data axis when a mesh is active
+    parallel_experts: int = 1
 
     # ---- derived / runtime (not flags) ----
     lr_net: float = 0.1                  # set from learned syn_lr at eval time

@@ -160,3 +160,133 @@ def init_bi_encoder(model: VLBiEncoder, cfg: Config,
     imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
     txts = jnp.zeros((2, model.text_embedding), jnp.float32)
     return model.init({"params": rng, "dropout": rng}, imgs, txts)
+
+
+class ParallelExpertTrainer:
+    """Train K independent experts simultaneously (expert-parallel).
+
+    The reference trains experts strictly sequentially (``buffer.py:42``),
+    even though they are embarrassingly independent (SURVEY.md §2.6 row
+    EP).  TPU-natively the expert axis is just another batch dimension:
+    parameters, optimizer traces, and batches all carry a leading K, the
+    per-expert step is ``jax.vmap``'d into one XLA program, and on a
+    device mesh the K axis shards over ``data`` so each device trains its
+    own expert(s) with zero cross-device traffic.
+
+    Semantics match K sequential :class:`BiEncoderTrainer` runs when each
+    expert is fed its own batch stream (same inits, same batch order).
+    """
+
+    def __init__(self, model: VLBiEncoder, variables_list: List[Dict], *,
+                 lr_img: float, lr_txt: float, momentum: float = 0.0,
+                 weight_decay: float = 0.0, seed: int = 0, mesh=None):
+        self.model = model
+        self.k = len(variables_list)
+        self.mesh = mesh
+        self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
+        self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
+        self.variables = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *variables_list)
+        params = self.variables["params"]
+        self.opt_img = jax.vmap(self.tx_img.init)(params["image_encoder"])
+        self.opt_txt = jax.vmap(self.tx_txt.init)(params["text_projection"])
+        self.rng = jax.random.PRNGKey(seed)
+        self._step = self._build_step()
+
+    def _shard(self, tree):
+        if self.mesh is None or "data" not in self.mesh.axis_names:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, tree)
+
+    def _build_step(self):
+        model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
+        shard = self._shard
+
+        def one(variables, opt_img, opt_txt, images, text_feats, rng):
+            params = variables["params"]
+            state = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(p):
+                vs = {"params": p, **state}
+                if state:
+                    (loss, acc), new_state = model.apply(
+                        vs, images, text_feats, train=True,
+                        rngs={"dropout": rng}, mutable=list(state.keys()))
+                else:
+                    loss, acc = model.apply(vs, images, text_feats,
+                                            train=True,
+                                            rngs={"dropout": rng})
+                    new_state = {}
+                return loss, (acc, new_state)
+
+            (loss, (acc, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            upd_i, opt_img = tx_img.update(grads["image_encoder"], opt_img,
+                                           params["image_encoder"])
+            upd_t, opt_txt = tx_txt.update(grads["text_projection"], opt_txt,
+                                           params["text_projection"])
+            new_params = dict(params)
+            new_params["image_encoder"] = optax.apply_updates(
+                params["image_encoder"], upd_i)
+            new_params["text_projection"] = optax.apply_updates(
+                params["text_projection"], upd_t)
+            return {"params": new_params, **new_state}, opt_img, opt_txt, loss, acc
+
+        @jax.jit
+        def step(variables, opt_img, opt_txt, images, text_feats, rngs):
+            variables = shard(variables)
+            images = shard(images)
+            text_feats = shard(text_feats)
+            return jax.vmap(one)(variables, opt_img, opt_txt, images,
+                                 text_feats, rngs)
+
+        return step
+
+    def train_batch(self, images: np.ndarray, text_feats: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """images: (K, B, H, W, C); text_feats: (K, B, D)."""
+        self.rng, sub = jax.random.split(self.rng)
+        rngs = jax.random.split(sub, self.k)
+        (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
+            self.variables, self.opt_img, self.opt_txt,
+            jnp.asarray(images), jnp.asarray(text_feats), rngs)
+        return np.asarray(loss), np.asarray(acc)
+
+    def train_epoch_captions(self, loaders, caption_to_embed: Callable
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """One epoch: ``loaders`` is a list of K loaders (one batch stream
+        per expert, preserving the reference's per-expert shuffling)."""
+        loss_sum = np.zeros(self.k)
+        acc_sum = np.zeros(self.k)
+        num = np.zeros(self.k)
+        for batches in zip(*loaders):
+            images = np.stack([b[0] for b in batches])
+            texts = np.stack([caption_to_embed(b[1]) for b in batches])
+            loss, acc = self.train_batch(images, texts)
+            n = images.shape[1]
+            loss_sum += loss * n
+            acc_sum += acc
+            num += n
+        return loss_sum / np.maximum(num, 1), acc_sum / np.maximum(num, 1)
+
+    # ---- per-expert views / snapshots ----
+
+    def variables_for(self, k: int) -> Dict:
+        return jax.tree_util.tree_map(lambda x: x[k], self.variables)
+
+    def snapshot_image_params(self, k: int):
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x[k]),
+            self.variables["params"]["image_encoder"])
+
+    def snapshot_text_params(self, k: int):
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x[k]),
+            self.variables["params"]["text_projection"])
