@@ -66,6 +66,13 @@ def _bootstrap_dummy_buffers(cfg: Config, expert_dir: str) -> None:
 
 
 def main(cfg: Config):
+    # reference flag-combination guards (distill_original.py:104-108)
+    if cfg.zca and cfg.texture:
+        raise AssertionError("Cannot use zca and texture together")
+    if cfg.texture and cfg.pix_init == "real":
+        print("WARNING: Using texture with real initialization will take a "
+              "very long time to smooth out the boundaries between images.")
+
     logger = RunLogger(name=cfg.name, disable_wandb=cfg.disable_wandb,
                        log_dir=cfg.save_dir)
     print("Hyper-parameters: \n", cfg)
@@ -79,6 +86,16 @@ def main(cfg: Config):
 
     rng = np.random.RandomState(cfg.seed)
 
+    # ---- ZCA whitening (CIFAR path, utils.py:50-105) ----
+    zca = None
+    if cfg.zca:
+        from multimodal_dataset_distillation_tpu.ops.zca import ZCAWhitening
+
+        sample_n = min(len(train_dataset), 2048)
+        sample = np.stack([train_dataset[i][0] for i in range(sample_n)])
+        zca = ZCAWhitening().fit(sample)
+        print(f"Fitted ZCA whitening on {sample_n} train images")
+
     # ---- synthetic data init (distill_original.py:137-148) ----
     text_encoder = make_text_encoder(cfg)
     image_syn, text_syn = get_images_texts(cfg.num_queries, train_dataset,
@@ -89,6 +106,10 @@ def main(cfg: Config):
     if cfg.txt_init == "noise":
         text_syn = noise_texts(cfg.num_queries, text_encoder.hidden_size, rng)
         print("Initialized synthetic text from random noise")
+    if zca is not None and cfg.pix_init == "real":
+        # the reference's CIFAR/--zca path serves pre-whitened images from
+        # get_dataset (utils.py:50-105); whiten the real-init pixels here
+        image_syn = zca.transform(image_syn)
 
     # ---- student template + distiller ----
     student_cfg = cfg.replace(distill=True)
@@ -167,7 +188,7 @@ def main(cfg: Config):
                 save_visualizations(
                     run_dir, it, np.asarray(distiller.state.image_syn),
                     np.asarray(distiller.state.text_syn), train_sentences,
-                    train_caption_embed)
+                    train_caption_embed, zca=zca)
 
         logger.log({"Synthetic_LR_Image": float(distiller.state.syn_lr_img),
                     "Synthetic_LR_Text": float(distiller.state.syn_lr_txt)},

@@ -59,7 +59,7 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
                         text_syn: np.ndarray, train_sentences: Sequence[str],
                         train_caption_embed: np.ndarray,
                         clip_vals: Sequence[float] = (2.5,),
-                        save_tensors: bool = True) -> dict:
+                        save_tensors: bool = True, zca=None) -> dict:
     """Write PNG grids + sentence TXT + distilled-tensor npz; returns paths."""
     os.makedirs(save_dir, exist_ok=True)
     out = {}
@@ -83,6 +83,20 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
                          f"clipped_synthetic_images_{it}_std_{cv}.png")
         Image.fromarray(make_grid(clipped)).save(p)
         out[f"clipped_{cv}"] = p
+
+    if zca is not None:
+        # reconstructed (de-whitened) variants (distill.py:407-426)
+        recon = zca.inverse_transform(np.asarray(image_syn))
+        p = os.path.join(save_dir, f"zca_synthetic_images_{it}.png")
+        Image.fromarray(make_grid(recon)).save(p)
+        out["zca_grid"] = p
+        for cv in clip_vals:
+            mu, sd = float(np.mean(recon)), float(np.std(recon))
+            clipped = np.clip(recon, mu - cv * sd, mu + cv * sd)
+            p = os.path.join(
+                save_dir, f"clipped_zca_synthetic_images_{it}_std_{cv}.png")
+            Image.fromarray(make_grid(clipped)).save(p)
+            out[f"zca_clipped_{cv}"] = p
 
     if save_tensors:
         p = os.path.join(save_dir, f"distilled_{it}.npz")
