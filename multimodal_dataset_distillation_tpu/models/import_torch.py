@@ -1,0 +1,215 @@
+"""torch/timm -> Flax weight import for the NFNet family.
+
+The reference builds its image towers pretrained via timm
+(``networks.py:666-672``: ``timm.create_model('nfnet_l0', pretrained=True,
+num_classes=0, global_pool='avg')``).  On TPU hosts timm/torch weights
+arrive as a state-dict file; this module maps timm's NormFreeNet parameter
+naming onto :mod:`~.nfnet`'s Flax tree.
+
+Conventions handled:
+* conv weights: torch ``(out, in/groups, kh, kw)`` -> flax HWIO
+  ``(kh, kw, in/groups, out)``
+* ScaledStdConv ``gain``: torch ``(out, 1, 1, 1)`` -> flax ``(out,)``
+* SE ``fc1``/``fc2``: timm uses 1x1 Conv2d ``(rd, C, 1, 1)``; ours are
+  Dense ``(C, rd)`` — squeezed + transposed
+* ``skipinit_gain``: scalar
+* linear head: torch ``(out, in)`` -> flax ``(in, out)``
+
+Weight standardization itself is applied at *runtime* in both frameworks
+(weights are stored raw), so import is pure renaming + transposition.
+Gamma placement note: timm folds the variance-preserving ``gamma`` into
+each conv while this implementation applies it at the activation site;
+the two are mathematically identical because every conv input here passes
+through exactly one ``gamma_act`` (and the stem's first conv sees raw
+pixels in both, with no gamma anywhere).
+
+Usage::
+
+    sd = torch.load("nfnet_l0.pth", map_location="cpu")  # or np dict
+    params = nfnet_l0_params_from_timm(sd, depths=(1, 2, 6, 3))
+    variables = {"params": {"image_encoder": {"ImageTower_0": params}}}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _conv(sd: Mapping[str, Any], prefix: str, gain: bool = True) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.transpose(_np(sd[prefix + ".weight"]), (2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"]).reshape(-1)
+    if gain and prefix + ".gain" in sd:
+        out["gain"] = _np(sd[prefix + ".gain"]).reshape(-1)
+    return out
+
+
+def _se(sd: Mapping[str, Any], prefix: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """timm SqueezeExcite: 1x1 convs fc1/fc2 -> our Dense fc1/fc2."""
+    def dense(name):
+        w = _np(sd[f"{prefix}.{name}.weight"])
+        if w.ndim == 4:  # (out, in, 1, 1)
+            w = w[:, :, 0, 0]
+        return {"kernel": np.ascontiguousarray(w.T),
+                "bias": _np(sd[f"{prefix}.{name}.bias"]).reshape(-1)}
+
+    return {"fc1": dense("fc1"), "fc2": dense("fc2")}
+
+
+def nfnet_params_from_timm(sd: Mapping[str, Any],
+                           depths: Sequence[int] = (1, 2, 6, 3),
+                           stem_convs: int = 4,
+                           extra_conv: bool = True,
+                           has_se: bool = True,
+                           has_skipinit: bool = True,
+                           has_final_conv: bool = True,
+                           num_classes: int = 0) -> Dict[str, Any]:
+    """Map a timm NormFreeNet state dict onto our Flax param tree.
+
+    Works for ``nfnet_l0`` (defaults), ``nf_resnet50``
+    (``stem_convs=1, extra_conv=False, has_se=False, has_skipinit=False,
+    has_final_conv=False, num_classes=1000``) and ``nf_regnet_b1``
+    analogously.
+    """
+    params: Dict[str, Any] = {}
+
+    # ---- stem ----
+    if stem_convs == 1:
+        params["stem_conv"] = _conv(sd, "stem.conv1" if "stem.conv1.weight"
+                                    in sd else "stem.conv")
+    else:
+        for i in range(1, stem_convs + 1):
+            params[f"stem_conv{i}"] = _conv(sd, f"stem.conv{i}")
+
+    # ---- stages ----
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            p = f"stages.{si}.{bi}"
+            blk: Dict[str, Any] = {
+                "conv1": _conv(sd, p + ".conv1"),
+                "conv2": _conv(sd, p + ".conv2"),
+                "conv3": _conv(sd, p + ".conv3"),
+            }
+            if extra_conv and p + ".conv2b.weight" in sd:
+                blk["conv2b"] = _conv(sd, p + ".conv2b")
+            if p + ".downsample.conv.weight" in sd:
+                blk["downsample_conv"] = _conv(sd, p + ".downsample.conv")
+            if has_se:
+                for attn_name in ("attn_last", "attn"):
+                    if f"{p}.{attn_name}.fc1.weight" in sd:
+                        blk["se"] = _se(sd, f"{p}.{attn_name}")
+                        break
+            if has_skipinit and p + ".skipinit_gain" in sd:
+                blk["skipinit_gain"] = _np(sd[p + ".skipinit_gain"]).reshape(())
+            params[f"stage{si}_block{bi}"] = blk
+
+    # ---- head ----
+    if has_final_conv and "final_conv.weight" in sd:
+        params["final_conv"] = _conv(sd, "final_conv")
+    if num_classes and "head.fc.weight" in sd:
+        params["head"] = {
+            "kernel": np.ascontiguousarray(_np(sd["head.fc.weight"]).T),
+            "bias": _np(sd["head.fc.bias"]).reshape(-1)}
+    return params
+
+
+def nfnet_params_to_timm(params: Mapping[str, Any],
+                         depths: Sequence[int] = (1, 2, 6, 3),
+                         stem_convs: int = 4) -> Dict[str, np.ndarray]:
+    """Inverse mapping (export our params in timm naming) — used to write
+    reference-consumable checkpoints and for import round-trip tests."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(tprefix, tree):
+        sd[tprefix + ".weight"] = np.transpose(np.asarray(tree["kernel"]),
+                                               (3, 2, 0, 1))
+        if "bias" in tree:
+            sd[tprefix + ".bias"] = np.asarray(tree["bias"])
+        if "gain" in tree:
+            sd[tprefix + ".gain"] = np.asarray(tree["gain"]).reshape(-1, 1, 1, 1)
+
+    if stem_convs == 1:
+        put_conv("stem.conv1", params["stem_conv"])
+    else:
+        for i in range(1, stem_convs + 1):
+            put_conv(f"stem.conv{i}", params[f"stem_conv{i}"])
+
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            blk = params.get(f"stage{si}_block{bi}")
+            if blk is None:
+                continue
+            p = f"stages.{si}.{bi}"
+            for cname in ("conv1", "conv2", "conv2b", "conv3"):
+                if cname in blk:
+                    put_conv(f"{p}.{cname}", blk[cname])
+            if "downsample_conv" in blk:
+                put_conv(f"{p}.downsample.conv", blk["downsample_conv"])
+            if "se" in blk:
+                for f in ("fc1", "fc2"):
+                    w = np.asarray(blk["se"][f]["kernel"]).T
+                    sd[f"{p}.attn_last.{f}.weight"] = w[:, :, None, None]
+                    sd[f"{p}.attn_last.{f}.bias"] = np.asarray(
+                        blk["se"][f]["bias"])
+            if "skipinit_gain" in blk:
+                sd[f"{p}.skipinit_gain"] = np.asarray(
+                    blk["skipinit_gain"]).reshape(())
+    if "final_conv" in params:
+        put_conv("final_conv", params["final_conv"])
+    if "head" in params:
+        sd["head.fc.weight"] = np.ascontiguousarray(
+            np.asarray(params["head"]["kernel"]).T)
+        sd["head.fc.bias"] = np.asarray(params["head"]["bias"])
+    return sd
+
+
+def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
+                             arch: str = "nfnet") -> Dict[str, Any]:
+    """Return a copy of bi-encoder ``variables`` with the image tower
+    replaced by timm weights from state dict ``sd``."""
+    import copy
+
+    arch_kw = {
+        "nfnet": dict(depths=(1, 2, 6, 3), stem_convs=4, extra_conv=True,
+                      has_se=True, has_skipinit=True, has_final_conv=True),
+        "nf_resnet50": dict(depths=(3, 4, 6, 3), stem_convs=1,
+                            extra_conv=False, has_se=False,
+                            has_skipinit=False, has_final_conv=False,
+                            num_classes=1000),
+        "nf_regnet": dict(depths=(2, 4, 7, 7), stem_convs=1,
+                          extra_conv=False, has_se=True, has_skipinit=False,
+                          has_final_conv=True, num_classes=1000),
+    }[arch]
+    mapped = nfnet_params_from_timm(sd, **arch_kw)
+
+    new_vars = copy.deepcopy(
+        {k: v for k, v in variables.items()})
+    tower = new_vars["params"]["image_encoder"]
+    # the ImageTower wrapper nests the backbone one level down
+    inner_key = next(iter(tower))
+    template = tower[inner_key]
+
+    def merge(dst, src, path=""):
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"imported param {path + k} not in model")
+            if isinstance(v, dict):
+                merge(dst[k], v, path + k + "/")
+            else:
+                have = np.asarray(dst[k])
+                if have.shape != np.asarray(v).shape:
+                    raise ValueError(
+                        f"shape mismatch at {path + k}: model {have.shape} "
+                        f"vs import {np.asarray(v).shape}")
+                dst[k] = np.asarray(v, have.dtype)
+
+    merge(template, mapped)
+    return new_vars
