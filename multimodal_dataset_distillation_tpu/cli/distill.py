@@ -20,6 +20,7 @@ import math
 import os
 from typing import Optional
 
+import jax
 import numpy as np
 
 from multimodal_dataset_distillation_tpu.config import Config, parse_config
@@ -128,7 +129,8 @@ def main(cfg: Config):
         _bootstrap_dummy_buffers(student_cfg, expert_dir)
     img_files, txt_files = discover_buffers(expert_dir)
     cycler = ExpertCycler(img_files, txt_files, cfg.max_start_epoch,
-                          cfg.expert_epochs, cfg.max_files, seed=cfg.seed)
+                          cfg.expert_epochs, cfg.max_files, seed=cfg.seed,
+                          load_all=cfg.load_all, max_experts=cfg.max_experts)
 
     # sanity: buffer width must match this student's flat size
     seg = cycler.img_buffer[0]
@@ -195,9 +197,22 @@ def main(cfg: Config):
                    step=it)
 
         # ---- one outer step (HBM-resident expert trajectories) ----
-        traj_img, traj_txt, start_epoch = cycler.next_segment_device()
-        idx_seq = distiller.sample_indices(rng)
-        metrics = distiller.step_traj(traj_img, traj_txt, start_epoch, idx_seq)
+        if cfg.profile_dir and it == 2:  # trace one post-compile step
+            from multimodal_dataset_distillation_tpu.utils.logging import (
+                Profiler,
+            )
+
+            with Profiler(cfg.profile_dir):
+                traj_img, traj_txt, start_epoch = cycler.next_segment_device()
+                idx_seq = distiller.sample_indices(rng)
+                metrics = distiller.step_traj(traj_img, traj_txt,
+                                              start_epoch, idx_seq)
+                jax.block_until_ready(metrics["grand_loss"])
+        else:
+            traj_img, traj_txt, start_epoch = cycler.next_segment_device()
+            idx_seq = distiller.sample_indices(rng)
+            metrics = distiller.step_traj(traj_img, traj_txt, start_epoch,
+                                          idx_seq)
 
         grand = float(metrics["grand_loss"])
         if math.isnan(float(metrics["img_param_loss"])):

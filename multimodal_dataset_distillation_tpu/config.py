@@ -135,6 +135,9 @@ class Config:
     inner_dtype: str = "float32"
     # jax.checkpoint each inner step (memory/time tradeoff for long unrolls)
     remat_inner: bool = True
+    # checkpoint every N inner steps instead of every step (N must divide
+    # syn_steps; larger N = more memory, less recompute)
+    remat_group: int = 1
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -176,10 +176,27 @@ class Distiller:
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
-            if cfg.remat_inner:
-                f = jax.checkpoint(f)
-            (thiF, thtF), _ = jax.lax.scan(f, (img_th0, txt_th0),
-                                           (idx_seq, keys))
+            g = max(1, int(getattr(cfg, "remat_group", 1)))
+            if cfg.remat_inner and g > 1 and idx_seq.shape[0] % g == 0:
+                # grouped remat: checkpoint every g inner steps — live
+                # activations for g steps, recompute 1 extra fwd per g
+                # steps instead of per step (memory <-> recompute dial)
+                n = idx_seq.shape[0] // g
+
+                def group(carry, inp):
+                    gi, gk = inp
+                    out, _ = jax.lax.scan(f, carry, (gi, gk))
+                    return out, None
+
+                (thiF, thtF), _ = jax.lax.scan(
+                    jax.checkpoint(group), (img_th0, txt_th0),
+                    (idx_seq.reshape(n, g, -1),
+                     keys.reshape(n, g, *keys.shape[1:])))
+            else:
+                if cfg.remat_inner:
+                    f = jax.checkpoint(f)
+                (thiF, thtF), _ = jax.lax.scan(f, (img_th0, txt_th0),
+                                               (idx_seq, keys))
             img_loss = (jnp.sum((thiF - img_tgt) ** 2)
                         / jnp.sum((img_th0 - img_tgt) ** 2))
             txt_loss = (jnp.sum((thtF - txt_tgt) ** 2)
@@ -300,7 +317,8 @@ class ExpertCycler:
 
     def __init__(self, img_files: Sequence[str], txt_files: Sequence[str],
                  max_start_epoch: int, expert_epochs: int,
-                 max_files: Optional[int] = None, seed: int = 0):
+                 max_files: Optional[int] = None, seed: int = 0,
+                 load_all: bool = False, max_experts: Optional[int] = None):
         from multimodal_dataset_distillation_tpu.engine.buffer_io import load_buffer
 
         self._load = load_buffer
@@ -314,21 +332,38 @@ class ExpertCycler:
             raise AssertionError("No buffers detected")
         self.max_start_epoch = max_start_epoch
         self.expert_epochs = expert_epochs
+        self.max_experts = max_experts
+        # --load_all (distill.py flag): hold every buffer file in host RAM
+        # and keep device copies cached across file switches
+        self.load_all = load_all
+        self._all: Optional[List[Tuple[List, List]]] = None
+        if load_all:
+            self._all = [(self._trim(self._load(i)), self._trim(self._load(t)))
+                         for i, t in zip(self.img_files, self.txt_files)]
         self._device_cache: Dict[int, Tuple[Any, Any]] = {}
         self._shuffle()
         self.file_idx = 0
         self.expert_idx = 0
         self._load_current()
 
+    def _trim(self, buf: List) -> List:
+        """--max_experts: cap trajectories per file (distill.py:258-260)."""
+        return buf[: self.max_experts] if self.max_experts else buf
+
     def _shuffle(self):
         """shuffle_files (distill.py:79-87): same permutation both lists."""
         perm = self.rng.permutation(len(self.img_files))
         self.img_files = [self.img_files[i] for i in perm]
         self.txt_files = [self.txt_files[i] for i in perm]
+        if self._all is not None:
+            self._all = [self._all[i] for i in perm]
 
     def _load_current(self):
-        self.img_buffer = self._load(self.img_files[self.file_idx])
-        self.txt_buffer = self._load(self.txt_files[self.file_idx])
+        if self._all is not None:
+            self.img_buffer, self.txt_buffer = self._all[self.file_idx]
+            return  # device copies stay cached (host arrays are stable)
+        self.img_buffer = self._trim(self._load(self.img_files[self.file_idx]))
+        self.txt_buffer = self._trim(self._load(self.txt_files[self.file_idx]))
         # drop device copies of the previous file's trajectories
         self._device_cache.clear()
 

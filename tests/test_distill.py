@@ -180,3 +180,32 @@ def test_bfloat16_inner_mode_runs_and_tracks_f32():
     a, b = float(m32["grand_loss"]), float(m16["grand_loss"])
     assert np.isfinite(b)
     assert abs(a - b) / max(abs(a), 1e-6) < 0.2  # coarse agreement
+
+
+def test_remat_group_matches_plain():
+    """Grouped remat is a pure memory/recompute dial: same gradients."""
+    with jax.enable_x64():
+        cfg, d, i0, t0, it, tt = tiny_setup(syn_steps=4,
+                                            inner_dtype="float64",
+                                            dtype=np.float64)
+        idx = d.sample_indices(np.random.RandomState(0))
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        args = (d.state.image_syn, d.state.text_syn, d.state.syn_lr_img,
+                d.state.syn_lr_txt, i0, t0, it, tt, jnp.asarray(idx), keys)
+        base = jax.grad(lambda *a: d.grand_loss(*a)[0], argnums=(0, 2))(*args)
+
+        cfg2 = cfg.replace(remat_group=2)
+        d2 = Distiller(cfg2, d.model,
+                       {"params": {
+                           "image_encoder": d._unravel_img(jnp.asarray(i0)),
+                           "text_projection": d._unravel_txt(jnp.asarray(t0))}},
+                       np.asarray(d.state.image_syn),
+                       np.asarray(d.state.text_syn))
+        args2 = (d2.state.image_syn, d2.state.text_syn, d2.state.syn_lr_img,
+                 d2.state.syn_lr_txt, i0, t0, it, tt, jnp.asarray(idx), keys)
+        grouped = jax.grad(lambda *a: d2.grand_loss(*a)[0],
+                           argnums=(0, 2))(*args2)
+        np.testing.assert_allclose(np.asarray(base[0]),
+                                   np.asarray(grouped[0]), rtol=1e-9)
+        np.testing.assert_allclose(float(base[1]), float(grouped[1]),
+                                   rtol=1e-9)
