@@ -115,3 +115,27 @@ def test_eval_pool_grammar():
     assert zoo.get_eval_pool("S", "ConvNetBN", "x") == ["ConvNet"]
     assert len(zoo.get_eval_pool("M", "m", "x")) == 5
     assert zoo.get_eval_pool("C", "ResNet18", "x") == ["ResNet18", "ConvNet"]
+
+
+def test_modified_resnet_attnpool():
+    """CLIP ModifiedResNet rebuilt working (reference model.py is partially
+    dead at HEAD — build_model references an undefined CLIP class)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_dataset_distillation_tpu.models.modified_resnet import (
+        ModifiedResNet,
+    )
+
+    m = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=64, heads=4, width=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 64)
+    assert "batch_stats" in v
+    # train mode updates running stats
+    out2, updated = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out2.shape == (2, 64)
+    leaves_a = jax.tree_util.tree_leaves(v["batch_stats"])
+    leaves_b = jax.tree_util.tree_leaves(updated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
