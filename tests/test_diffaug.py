@@ -82,3 +82,42 @@ def test_flip_semantics():
     p.prob_flip = 1.1  # always flip
     y = rand_flip(x, jax.random.PRNGKey(0), p, False)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x[:, :, ::-1, :]))
+
+
+def test_legacy_augment_and_daparam():
+    """Non-differentiable DC augment (utils.py:255-335)."""
+    import numpy as np
+    from multimodal_dataset_distillation_tpu.ops.legacy_augment import (
+        augment,
+        get_daparam,
+    )
+
+    p = get_daparam("MNIST", "ConvNet", "ConvNet", 1)
+    assert p["strategy"] == "crop_scale_rotate"
+    assert get_daparam("CIFAR10", "ConvNet", "ConvNetBN", 1)["strategy"] == "crop_noise"
+    assert get_daparam("CIFAR10", "ConvNet", "ConvNet", 1)["strategy"] == "none"
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 16, 16, 3).astype(np.float32)
+    out = augment(x, p, rng)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, x)
+    # strategy none is identity
+    np.testing.assert_array_equal(augment(x, {"strategy": "none"}), x)
+
+
+def test_lr_schedules():
+    from multimodal_dataset_distillation_tpu.utils.schedules import (
+        cosine_lr_schedule,
+        step_lr_schedule,
+        warmup_lr_schedule,
+    )
+
+    assert abs(cosine_lr_schedule(0, 10, 1.0, 0.1) - 1.0) < 1e-9
+    assert abs(cosine_lr_schedule(10, 10, 1.0, 0.1) - 0.1) < 1e-9
+    assert warmup_lr_schedule(0, 10, 0.0, 1.0) == 0.0
+    assert warmup_lr_schedule(10, 10, 0.0, 1.0) == 1.0
+    assert warmup_lr_schedule(20, 10, 0.0, 1.0) == 1.0
+    assert abs(step_lr_schedule(2, 1.0, 0.01, 0.5) - 0.25) < 1e-9
+    assert step_lr_schedule(20, 1.0, 0.01, 0.5) == 0.01
