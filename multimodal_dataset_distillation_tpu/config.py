@@ -157,6 +157,9 @@ class Config:
     # program (the reference trains them sequentially, buffer.py:42);
     # shards over the mesh data axis when a mesh is active
     parallel_experts: int = 1
+    # C++ fastimage JPEG decode for the train input pipeline (GIL-free
+    # thread pool, DCT-scaled decode); PIL fallback per image
+    native_decode: bool = True
 
     # ---- derived / runtime (not flags) ----
     lr_net: float = 0.1                  # set from learned syn_lr at eval time

@@ -36,7 +36,14 @@ from multimodal_dataset_distillation_tpu.data.transforms import (
 
 def create_dataset(cfg: Config, min_scale: float = 0.5):
     """(train, val, test) with reference transforms (data/__init__.py:193-227)."""
-    t_train = make_train_transform(cfg.image_size, min_scale)
+    if getattr(cfg, "native_decode", False):
+        from multimodal_dataset_distillation_tpu.data.transforms import (
+            make_train_transform_native,
+        )
+
+        t_train = make_train_transform_native(cfg.image_size, min_scale)
+    else:
+        t_train = make_train_transform(cfg.image_size, min_scale)
     t_test = make_test_transform(cfg.image_size)
 
     if cfg.dataset == "flickr":

@@ -65,6 +65,11 @@ def _load_image(path: str, transform: Callable,
                 fallback_black: bool = False,
                 image_size: int = 224) -> np.ndarray:
     try:
+        if getattr(transform, "accepts_bytes", False):
+            # native fast path: the transform decodes raw file bytes via
+            # the C++ fastimage pipeline (GIL-free), PIL only on fallback
+            with open(path, "rb") as f:
+                return transform(f.read())
         with Image.open(path) as im:
             return transform(im)
     except Exception:

@@ -34,11 +34,11 @@ def denormalize(arr: np.ndarray) -> np.ndarray:
     return np.clip((arr * CLIP_STD + CLIP_MEAN) * 255.0, 0, 255)
 
 
-def random_resized_crop(img: Image.Image, size: int,
-                        scale: Tuple[float, float] = (0.5, 1.0),
-                        ratio: Tuple[float, float] = (3 / 4, 4 / 3)) -> Image.Image:
-    """torchvision RandomResizedCrop semantics (bicubic)."""
-    w, h = img.size
+def sample_crop_params(w: int, h: int,
+                       scale: Tuple[float, float] = (0.5, 1.0),
+                       ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+                       ) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop sampling -> (x, y, cw, ch)."""
     area = w * h
     for _ in range(10):
         target = area * np.random.uniform(*scale)
@@ -49,8 +49,7 @@ def random_resized_crop(img: Image.Image, size: int,
         if 0 < cw <= w and 0 < ch <= h:
             x = np.random.randint(0, w - cw + 1)
             y = np.random.randint(0, h - ch + 1)
-            return img.resize((size, size), Image.BICUBIC,
-                              box=(x, y, x + cw, y + ch))
+            return x, y, cw, ch
     # fallback: center crop at clamped ratio
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -59,7 +58,14 @@ def random_resized_crop(img: Image.Image, size: int,
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    x, y = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def random_resized_crop(img: Image.Image, size: int,
+                        scale: Tuple[float, float] = (0.5, 1.0),
+                        ratio: Tuple[float, float] = (3 / 4, 4 / 3)) -> Image.Image:
+    """torchvision RandomResizedCrop semantics (bicubic)."""
+    x, y, cw, ch = sample_crop_params(*img.size, scale=scale, ratio=ratio)
     return img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
 
 
@@ -84,4 +90,40 @@ def make_test_transform(image_size: int = 224) -> Callable:
         img = img.resize((image_size, image_size), Image.BICUBIC)
         return normalize(np.asarray(img))
 
+    return transform
+
+
+def make_train_transform_native(image_size: int = 224,
+                                min_scale: float = 0.5) -> Callable:
+    """Train transform over raw file *bytes*: C++ fastimage decode+crop+
+    resize+flip (GIL-free, DCT-scaled), then Python RandAugment +
+    normalize.  Falls back to the PIL path per image on non-JPEG input or
+    decode failure.  Same sampling distributions as
+    :func:`make_train_transform` (bilinear vs bicubic resampling is the
+    one intentional difference of the fast path).
+    """
+    import io
+
+    aug = RandomAugment(2, 5, isPIL=True, augs=VL_AUGS)
+    pil_path = make_train_transform(image_size, min_scale)
+
+    def transform(data) -> np.ndarray:
+        if isinstance(data, Image.Image):  # PIL input: normal path
+            return pil_path(data)
+        from multimodal_dataset_distillation_tpu import native
+
+        if native.get_fastimage() is not None and native.is_jpeg(data):
+            dims = native.read_dims(data)
+            if dims is not None:
+                x, y, cw, ch = sample_crop_params(
+                    dims[0], dims[1], scale=(min_scale, 1.0))
+                flip = bool(np.random.random() < 0.5)
+                out, failed = native.decode_batch(
+                    [(data, (x, y, cw, ch), flip)], image_size, n_threads=1)
+                if not failed:
+                    img = aug(Image.fromarray(out[0]))
+                    return normalize(np.asarray(img))
+        return pil_path(Image.open(io.BytesIO(data)).convert("RGB"))
+
+    transform.accepts_bytes = True
     return transform
