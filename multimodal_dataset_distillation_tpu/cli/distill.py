@@ -116,7 +116,22 @@ def main(cfg: Config):
     student_cfg = cfg.replace(distill=True)
     model = build_bi_encoder(student_cfg)
     variables = init_bi_encoder(model, student_cfg)
-    distiller = Distiller(student_cfg, model, variables, image_syn, text_syn)
+
+    # data-parallel mesh over all local devices (DataParallel semantics,
+    # buffer.py:51-53 / distill.py:443-445 — TPU form): inner minibatches
+    # shard over "data", flat students replicate, XLA psums over ICI
+    mesh = None
+    if cfg.mesh_shape or len(jax.devices()) > 1:
+        from multimodal_dataset_distillation_tpu.parallel.mesh import (
+            get_mesh,
+            maybe_init_distributed,
+        )
+
+        maybe_init_distributed()
+        mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        print(f"Device mesh: {dict(mesh.shape)}")
+    distiller = Distiller(student_cfg, model, variables, image_syn, text_syn,
+                          mesh=mesh)
 
     # ---- expert buffers (distill_original.py:170-196) ----
     expert_dir = cfg.buffer_path

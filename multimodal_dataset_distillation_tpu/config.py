@@ -208,6 +208,12 @@ def add_reference_flags(parser: argparse.ArgumentParser,
                         defaults: Optional[Config] = None) -> argparse.ArgumentParser:
     """Register the full union of reference flags on ``parser``."""
     cfg = defaults or Config()
+    parser.add_argument("--mesh_shape", type=str,
+                        default=",".join(map(str, cfg.mesh_shape)),
+                        help="device mesh shape, e.g. '8' or '4,2' "
+                             "(default: all devices on the data axis)")
+    parser.add_argument("--mesh_axes", type=str,
+                        default=",".join(cfg.mesh_axes))
     for f in dataclasses.fields(Config):
         if f.name in ("mesh_shape", "mesh_axes", "lr_net", "device"):
             continue
@@ -247,5 +253,9 @@ def parse_config(argv: Optional[Sequence[str]] = None,
         print("Warning: Ignoring unknown arguments:", unknown)
     kw: Dict[str, Any] = vars(args)
     kw["dsa"] = _str2bool(kw.get("dsa", "True"))
+    kw["mesh_shape"] = tuple(int(x) for x in str(kw.get("mesh_shape", "")
+                                                 ).split(",") if x.strip())
+    kw["mesh_axes"] = tuple(x for x in str(kw.get("mesh_axes", "data")
+                                           ).split(",") if x.strip()) or ("data",)
     valid = {f.name for f in dataclasses.fields(Config)}
     return Config(**{k: v for k, v in kw.items() if k in valid})

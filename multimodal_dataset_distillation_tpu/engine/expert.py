@@ -48,8 +48,9 @@ class BiEncoderTrainer:
 
     def __init__(self, model: VLBiEncoder, variables: Dict, *,
                  lr_img: float, lr_txt: float, momentum: float = 0.0,
-                 weight_decay: float = 0.0, seed: int = 0):
+                 weight_decay: float = 0.0, seed: int = 0, mesh=None):
         self.model = model
+        self.mesh = mesh  # data-parallel batch sharding (DataParallel)
         self.variables = dict(variables)
         self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
         self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
@@ -72,9 +73,18 @@ class BiEncoderTrainer:
 
     def _build_step(self):
         model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
+        mesh = self.mesh
 
         @jax.jit
         def step(variables, opt_img, opt_txt, images, text_feats, rng):
+            if mesh is not None and "data" in mesh.axis_names:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                images = jax.lax.with_sharding_constraint(
+                    images, NamedSharding(
+                        mesh, P("data", *([None] * (images.ndim - 1)))))
+                text_feats = jax.lax.with_sharding_constraint(
+                    text_feats, NamedSharding(mesh, P("data", None)))
             params = variables["params"]
             state = {k: v for k, v in variables.items() if k != "params"}
 

@@ -73,3 +73,53 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bi_encoder_trainer_mesh_parity():
+    """Expert train step under an 8-device data mesh == single-device."""
+    import jax
+    import numpy as np
+
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer,
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoder,
+    )
+    from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
+
+    cfg = Config(image_encoder="convnet_tiny", image_size=16, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+    rng = np.random.RandomState(0)
+    images = rng.randn(16, 16, 16, 3).astype(np.float32)
+    texts = rng.randn(16, 768).astype(np.float32)
+
+    t1 = BiEncoderTrainer(model, variables, lr_img=0.05, lr_txt=0.05, seed=0)
+    l1, a1 = t1.train_batch(images, texts)
+
+    mesh = get_mesh((8,), ("data",))
+    with mesh:
+        t2 = BiEncoderTrainer(model, variables, lr_img=0.05, lr_txt=0.05,
+                              seed=0, mesh=mesh)
+        l2, a2 = t2.train_batch(images, texts)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    pa = jax.tree_util.tree_leaves(t1.variables["params"])
+    pb = jax.tree_util.tree_leaves(t2.variables["params"])
+    for x, y in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_shape_flag_parsing():
+    from multimodal_dataset_distillation_tpu.config import parse_config
+
+    cfg = parse_config(["--mesh_shape", "4,2", "--mesh_axes", "data,model"])
+    assert cfg.mesh_shape == (4, 2)
+    assert cfg.mesh_axes == ("data", "model")
+    cfg = parse_config([])
+    assert cfg.mesh_shape == ()
+    assert cfg.mesh_axes == ("data",)
