@@ -40,6 +40,12 @@ from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encod
 from multimodal_dataset_distillation_tpu.utils.logging import RunLogger, get_time
 
 
+def _n_devices() -> int:
+    import jax
+
+    return len(jax.devices())
+
+
 def make_caption_lookup(train_dataset, cfg: Config, cache_dir: str = "."):
     """caption string -> cached CLS embedding (frozen tower => exact)."""
     sentences = train_dataset.get_all_captions()
@@ -79,10 +85,23 @@ def main(cfg: Config) -> List[int]:
             "supported; the reference default (frozen text encoder + "
             "trainable projection) is the supported path (buffer.py:49-50)")
 
+    # data-parallel mesh (DataParallel semantics, buffer.py:51-53)
+    mesh = None
+    if cfg.mesh_shape or _n_devices() > 1:
+        from multimodal_dataset_distillation_tpu.parallel.mesh import (
+            get_mesh,
+            maybe_init_distributed,
+        )
+
+        maybe_init_distributed()
+        mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        print(f"Device mesh: {dict(mesh.shape)}")
+
     saved: List[int] = []
     if cfg.parallel_experts > 1:
         saved = _run_parallel(cfg, save_dir, trainloader, testloader,
-                              caption_lookup, bert_test_embed, logger)
+                              caption_lookup, bert_test_embed, logger,
+                              mesh=mesh)
         logger.finish()
         return saved
 
@@ -92,7 +111,7 @@ def main(cfg: Config) -> List[int]:
         trainer = BiEncoderTrainer(
             model, variables, lr_img=cfg.lr_teacher_img,
             lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
-            seed=cfg.seed + it)
+            seed=cfg.seed + it, mesh=mesh)
 
         img_traj = [trainer.snapshot_image_params()]
         txt_traj = [trainer.snapshot_text_params()]
@@ -129,7 +148,8 @@ def main(cfg: Config) -> List[int]:
 
 
 def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
-                  caption_lookup, bert_test_embed, logger) -> List[int]:
+                  caption_lookup, bert_test_embed, logger,
+                  mesh=None) -> List[int]:
     """Expert-parallel phase 1: vmap K experts into one XLA program
     (SURVEY.md §2.6 row EP — the reference trains them sequentially)."""
     from multimodal_dataset_distillation_tpu.data.pipeline import Loader
@@ -138,8 +158,7 @@ def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
     )
     from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
 
-    mesh = None
-    if cfg.mesh_shape:
+    if mesh is None and cfg.mesh_shape:
         mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
     if cfg.decay:
         print("Warning: --decay LR schedule not applied in expert-parallel "
