@@ -39,6 +39,9 @@ IMAGE_FEATURE_DIMS = {
     # 679-680; the reference's else-branch "1000" at networks.py:819 is a
     # latent bug — see models/clip_vision.py)
     "clip": 512,
+    # true convnext_tiny pooled-feature dim (the reference's dim table
+    # says 640, networks.py:816-817 — a latent shape bug; see convnext.py)
+    "convnext": 768,
 }
 
 
@@ -68,6 +71,10 @@ def _build(name: str, transfer: bool = False) -> nn.Module:
         from multimodal_dataset_distillation_tpu.models import clip_vision
 
         return clip_vision.ClipVisionTransformer()
+    if name == "convnext":
+        from multimodal_dataset_distillation_tpu.models import convnext
+
+        return convnext.convnext_tiny(num_classes=0)
     raise ValueError(f"unknown image encoder: {name}")
 
 
@@ -88,7 +95,7 @@ class ImageTower(nn.Module):
         m = _build(name, self.transfer)
         if isinstance(m, (_nfnet.NormFreeNet, _vit.VisionTransformer)):
             return m(x, deterministic=not train)
-        if name == "clip":
+        if name in ("clip", "convnext"):
             return m(x, deterministic=not train)
         return m(x, train=train)
 

@@ -139,3 +139,21 @@ def test_modified_resnet_attnpool():
     leaves_a = jax.tree_util.tree_leaves(v["batch_stats"])
     leaves_b = jax.tree_util.tree_leaves(updated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_convnext_tower():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_dataset_distillation_tpu.models.zoo import (
+        IMAGE_FEATURE_DIMS,
+        create_image_encoder,
+    )
+
+    tower, dim = create_image_encoder("convnext")
+    assert dim == IMAGE_FEATURE_DIMS["convnext"] == 768
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    v = tower.init(jax.random.PRNGKey(0), x)
+    out = tower.apply(v, x)
+    assert out.shape == (2, 768)
+    assert np.isfinite(np.asarray(out)).all()
