@@ -44,12 +44,23 @@ def topk_score_matrix(sims: jnp.ndarray, k: int) -> jnp.ndarray:
     return out.at[rows, idx].set(vals)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test,
+              use_pallas=False):
     txt = model.apply(variables, txt_raw.astype(jnp.float32),
                       method=VLBiEncoder.project_text)
     txt = l2_normalize(txt)
     img = l2_normalize(image_embeds.astype(jnp.float32))
+    if use_pallas:
+        # fused MXU row-tile matmul + VPU threshold top-k: one HBM pass,
+        # no full unmasked sims matrix (the fork's chunked/streamed
+        # epoch_test_metrics, epoch.py:103-215, done kernel-side)
+        from multimodal_dataset_distillation_tpu.ops.pallas_kernels import (
+            topk_scores_pallas,
+        )
+
+        return (topk_scores_pallas(img, txt, k_test, FIXED_LOGIT_SCALE),
+                topk_scores_pallas(txt, img, k_test, FIXED_LOGIT_SCALE))
     sims = FIXED_LOGIT_SCALE * jnp.dot(img, txt.T,
                                        preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -78,8 +89,14 @@ def epoch_test(testloader, model: VLBiEncoder, variables,
         chunks.append(l2_normalize(feats.astype(jnp.float32)))
     image_embeds = jnp.concatenate(chunks, axis=0)
 
+    n_img = int(image_embeds.shape[0])
+    n_txt = int(np.asarray(bert_test_embed).shape[0])
+    # pallas fused path once the sims matrix stops being trivially small
+    # (COCO-scale: 5k x 25k both directions) and we're on real TPU
+    use_pallas = (n_img * n_txt > 2_000_000
+                  and jax.devices()[0].platform == "tpu")
     i2t, t2i = _score_fn(model, variables, image_embeds,
-                         jnp.asarray(bert_test_embed), k_test)
+                         jnp.asarray(bert_test_embed), k_test, use_pallas)
     return np.asarray(i2t), np.asarray(t2i)
 
 
