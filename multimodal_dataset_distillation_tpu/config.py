@@ -160,6 +160,10 @@ class Config:
     # C++ fastimage JPEG decode for the train input pipeline (GIL-free
     # thread pool, DCT-scaled decode); PIL fallback per image
     native_decode: bool = True
+    # optional global-norm clipping of the three outer distillation
+    # gradients (0 = off = reference behavior); guards against the
+    # syn_lr runaway divergence mode at aggressive outer LRs
+    max_grad_norm: float = 0.0
 
     # ---- derived / runtime (not flags) ----
     lr_net: float = 0.1                  # set from learned syn_lr at eval time

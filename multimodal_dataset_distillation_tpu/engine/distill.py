@@ -86,9 +86,18 @@ class Distiller:
         self._extra_state = {k: v for k, v in init_variables.items()
                              if k != "params"}
 
-        self.tx_img = optax.sgd(cfg.lr_img, momentum=0.5)
-        self.tx_txt = optax.sgd(cfg.lr_txt, momentum=0.5)
-        self.tx_lr = optax.sgd(cfg.lr_lr, momentum=0.5)
+        def tx(lr):
+            # --max_grad_norm: optional outer-gradient clipping (0 = off,
+            # the reference behavior; its only guard is the NaN bailout)
+            sgd = optax.sgd(lr, momentum=0.5)
+            if getattr(cfg, "max_grad_norm", 0.0):
+                return optax.chain(
+                    optax.clip_by_global_norm(cfg.max_grad_norm), sgd)
+            return sgd
+
+        self.tx_img = tx(cfg.lr_img)
+        self.tx_txt = tx(cfg.lr_txt)
+        self.tx_lr = tx(cfg.lr_lr)
 
         # outer state dtype: f32 unless running the f64 verification mode
         sdt = jnp.float64 if cfg.inner_dtype == "float64" else jnp.float32

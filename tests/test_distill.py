@@ -209,3 +209,20 @@ def test_remat_group_matches_plain():
                                    np.asarray(grouped[0]), rtol=1e-9)
         np.testing.assert_allclose(float(base[1]), float(grouped[1]),
                                    rtol=1e-9)
+
+
+def test_max_grad_norm_clips_outer_updates():
+    cfg, d, i0, t0, it, tt = tiny_setup()
+    cfg2 = cfg.replace(max_grad_norm=1e-8, lr_img=10.0, lr_txt=10.0)
+    d2 = Distiller(cfg2, d.model,
+                   {"params": {
+                       "image_encoder": d._unravel_img(jnp.asarray(i0)),
+                       "text_projection": d._unravel_txt(jnp.asarray(t0))}},
+                   np.asarray(d.state.image_syn),
+                   np.asarray(d.state.text_syn))
+    before = np.asarray(d2.state.image_syn).copy()
+    idx = d2.sample_indices(np.random.RandomState(0))
+    d2.step(i0, t0, it, tt, idx)
+    after = np.asarray(d2.state.image_syn)
+    # with a vanishing clip norm the update is ~lr * 1e-8: essentially zero
+    assert np.max(np.abs(after - before)) < 1e-5
