@@ -294,16 +294,60 @@ class CifarVLEval(VLEvalDataset):
 # Synthetic offline dataset (tests / CI / air-gapped benches)
 # ---------------------------------------------------------------------------
 
-_WORDS = ("red blue green small large round striped dog cat bird car tree "
-          "house boat plane person hat ball chair table sky grass water "
-          "running sitting jumping standing walking").split()
+_COLORS = {
+    "red": (220, 40, 40), "blue": (40, 70, 220), "green": (40, 180, 70),
+    "yellow": (230, 210, 40), "purple": (150, 50, 200),
+    "orange": (240, 140, 30), "white": (240, 240, 240), "black": (20, 20, 20),
+}
+_BGS = {"gray": (128, 128, 128), "dark": (50, 50, 60),
+        "light": (210, 210, 200), "teal": (40, 140, 140)}
+_SHAPES = ("square", "circle", "stripe", "cross")
+_CAPTION_TEMPLATES = (
+    "a {c} {s} on a {b} background",
+    "the {c} {s} over {b}",
+    "one {c} {s} against a {b} backdrop",
+    "photo of a {c} {s} with {b} behind",
+    "{c} colored {s} on {b}",
+)
 
 
-def _make_fake_image(rng: np.random.RandomState, size: int) -> Image.Image:
-    # colored gradient + random rectangles: cheap but structured
-    base = rng.randint(0, 255, (4, 4, 3), np.uint8)
-    img = Image.fromarray(base).resize((size, size), Image.BILINEAR)
-    return img
+def _draw_fake_image(rng: np.random.RandomState, size: int,
+                     color: str, shape: str, bg: str) -> Image.Image:
+    """Image whose content MATCHES its caption (color/shape/background),
+    so the bi-encoder has real signal to learn — the previous generator
+    paired random pixels with random words (zero mutual information),
+    which made every retrieval metric chance-level by construction."""
+    arr = np.zeros((size, size, 3), np.float32)
+    arr[:] = _BGS[bg]
+    arr += rng.randn(size, size, 3) * 8.0  # mild texture noise
+    c = np.array(_COLORS[color], np.float32)
+    s = size
+    cx = rng.randint(s // 4, 3 * s // 4)
+    cy = rng.randint(s // 4, 3 * s // 4)
+    r = rng.randint(s // 6, s // 3)
+    yy, xx = np.mgrid[0:s, 0:s]
+    if shape == "square":
+        mask = (abs(xx - cx) < r) & (abs(yy - cy) < r)
+    elif shape == "circle":
+        mask = (xx - cx) ** 2 + (yy - cy) ** 2 < r * r
+    elif shape == "stripe":
+        mask = abs(xx - cx) < max(2, r // 3)
+    else:  # cross
+        mask = (abs(xx - cx) < max(2, r // 4)) | (abs(yy - cy) < max(2, r // 4))
+    arr[mask] = c + rng.randn(int(mask.sum()), 3) * 5.0
+    return Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+
+
+def _sample_concept(rng: np.random.RandomState):
+    color = list(_COLORS)[rng.randint(len(_COLORS))]
+    shape = _SHAPES[rng.randint(len(_SHAPES))]
+    bg = list(_BGS)[rng.randint(len(_BGS))]
+    return color, shape, bg
+
+
+def _caption_for(rng: np.random.RandomState, color, shape, bg) -> str:
+    t = _CAPTION_TEMPLATES[rng.randint(len(_CAPTION_TEMPLATES))]
+    return pre_caption(t.format(c=color, s=shape, b=bg), 30)
 
 
 class SyntheticVLTrain(VLTrainDataset):
@@ -312,9 +356,12 @@ class SyntheticVLTrain(VLTrainDataset):
         self.transform = transform
         self.image_size = image_size
         rng = np.random.RandomState(seed)
-        self._imgs = [_make_fake_image(rng, image_size) for _ in range(n)]
-        self._caps = [pre_caption(" ".join(
-            rng.choice(_WORDS, rng.randint(4, 9))), 30) for _ in range(n)]
+        self._imgs, self._caps = [], []
+        for _ in range(n):
+            color, shape, bg = _sample_concept(rng)
+            self._imgs.append(_draw_fake_image(rng, image_size, color,
+                                               shape, bg))
+            self._caps.append(_caption_for(rng, color, shape, bg))
 
     def __len__(self):
         return len(self._imgs)
@@ -331,15 +378,17 @@ class SyntheticVLEval(VLEvalDataset):
                  captions_per_image: int = 5, seed: int = 1):
         self.transform = transform
         rng = np.random.RandomState(seed)
-        self._imgs = [_make_fake_image(rng, image_size) for _ in range(n)]
+        self._imgs = []
         self.image = [str(i) for i in range(n)]
         self.text, self.img2txt, self.txt2img = [], {}, {}
         t = 0
         for i in range(n):
+            color, shape, bg = _sample_concept(rng)
+            self._imgs.append(_draw_fake_image(rng, image_size, color,
+                                               shape, bg))
             self.img2txt[i] = []
             for _ in range(captions_per_image):
-                self.text.append(pre_caption(" ".join(
-                    rng.choice(_WORDS, rng.randint(4, 9))), 30))
+                self.text.append(_caption_for(rng, color, shape, bg))
                 self.img2txt[i].append(t)
                 self.txt2img[t] = i
                 t += 1
