@@ -79,6 +79,13 @@ class Distiller:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh  # jax.sharding.Mesh for data-parallel inner batches
+        if mesh is not None and "data" in mesh.axis_names:
+            nd = mesh.shape["data"]
+            mb = min(cfg.mini_batch_size, cfg.num_queries)
+            if mb % nd:
+                raise ValueError(
+                    f"mini_batch_size ({mb}) must be divisible by the mesh "
+                    f"data axis ({nd}) for data-parallel inner batches")
         params = init_variables["params"]
         self.img_size, self._unravel_img = make_unravel(params["image_encoder"])
         self.txt_size, self._unravel_txt = make_unravel(params["text_projection"])
