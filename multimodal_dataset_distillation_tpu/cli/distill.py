@@ -129,7 +129,15 @@ def main(cfg: Config):
 
         maybe_init_distributed()
         mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        print(f"Device mesh: {dict(mesh.shape)}")
+        mb = min(cfg.mini_batch_size, cfg.num_queries)
+        if not cfg.mesh_shape and mb % mesh.shape.get("data", 1):
+            # auto-mesh only when the minibatch shards evenly; an explicit
+            # --mesh_shape still errors loudly in the Distiller
+            print(f"Note: mini_batch_size {mb} not divisible by "
+                  f"{mesh.shape.get('data', 1)} devices; running unsharded")
+            mesh = None
+        else:
+            print(f"Device mesh: {dict(mesh.shape)}")
     distiller = Distiller(student_cfg, model, variables, image_syn, text_syn,
                           mesh=mesh)
 
