@@ -63,6 +63,8 @@ def main():
         cfg = cfg.replace(remat_inner=os.environ["BENCH_REMAT"] == "1")
     if os.environ.get("BENCH_REMAT_GROUP"):
         cfg = cfg.replace(remat_group=int(os.environ["BENCH_REMAT_GROUP"]))
+    if os.environ.get("BENCH_SCAN_UNROLL"):
+        cfg = cfg.replace(scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
 
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)

@@ -138,6 +138,8 @@ class Config:
     # checkpoint every N inner steps instead of every step (N must divide
     # syn_steps; larger N = more memory, less recompute)
     remat_group: int = 1
+    # lax.scan unroll factor for the inner-step scan (XLA scheduling knob)
+    scan_unroll: int = 1
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

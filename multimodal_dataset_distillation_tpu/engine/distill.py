@@ -211,8 +211,9 @@ class Distiller:
             else:
                 if cfg.remat_inner:
                     f = jax.checkpoint(f)
-                (thiF, thtF), _ = jax.lax.scan(f, (img_th0, txt_th0),
-                                               (idx_seq, keys))
+                (thiF, thtF), _ = jax.lax.scan(
+                    f, (img_th0, txt_th0), (idx_seq, keys),
+                    unroll=max(1, int(getattr(cfg, "scan_unroll", 1))))
             img_loss = (jnp.sum((thiF - img_tgt) ** 2)
                         / jnp.sum((img_th0 - img_tgt) ** 2))
             txt_loss = (jnp.sum((thtF - txt_tgt) ** 2)
