@@ -48,7 +48,7 @@ def main():
                      syn_steps=8, mini_batch_size=100, expert_epochs=1,
                      lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
                      lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0,
-                     inner_dtype="bfloat16")
+                     inner_dtype="bfloat16", scan_unroll=8)
         iters, warmup = 10, 2
     else:
         cfg = Config(image_encoder="convnet_tiny", image_size=32,
