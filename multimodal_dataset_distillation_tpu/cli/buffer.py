@@ -80,10 +80,10 @@ def main(cfg: Config) -> List[int]:
     caption_lookup, _, _ = make_caption_lookup(train_dataset, cfg)
 
     if cfg.text_trainable:
-        raise NotImplementedError(
-            "text_trainable=True (training the full BERT tower) is not yet "
-            "supported; the reference default (frozen text encoder + "
-            "trainable projection) is the supported path (buffer.py:49-50)")
+        saved = _run_text_trainable(cfg, save_dir, trainloader, testloader,
+                                    bert_test_embed, logger)
+        logger.finish()
+        return saved
 
     # data-parallel mesh (DataParallel semantics, buffer.py:51-53)
     mesh = None
@@ -213,3 +213,81 @@ def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
 
 if __name__ == "__main__":
     main(parse_config(defaults=Config(image_encoder="nfnet")))
+
+
+def _run_text_trainable(cfg: Config, save_dir, trainloader, testloader,
+                        bert_test_embed, logger) -> List[int]:
+    """--text_trainable experts (buffer.py:49-50): the txt optimizer and
+    per-epoch txt snapshots cover the full BERT tower; the projection
+    stays frozen at init.  Retrieval eval still scores through the cached
+    CLS embeddings + frozen projection, as the reference does."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        TrainableTextTrainer,
+    )
+    from multimodal_dataset_distillation_tpu.models.bert import TextEncoder
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoderTrainableText,
+    )
+
+    if cfg.text_encoder != "bert":
+        raise NotImplementedError(
+            "--text_trainable is a BERT-tower mode (networks.py:697)")
+
+    from multimodal_dataset_distillation_tpu.models.zoo import (
+        IMAGE_FEATURE_DIMS,
+    )
+
+    tok_owner = TextEncoder(variant=cfg.text_encoder_config,
+                            pretrained=cfg.text_pretrained, seed=cfg.seed)
+    dim_key = ("nfnet_transfer" if (cfg.image_encoder == "nfnet"
+                                    and cfg.transfer) else cfg.image_encoder)
+    model = VLBiEncoderTrainableText(
+        image_encoder_name=cfg.image_encoder,
+        image_embedding=IMAGE_FEATURE_DIMS.get(dim_key, cfg.image_embedding),
+        bert_variant=cfg.text_encoder_config,
+        transfer=cfg.transfer)
+
+    saved: List[int] = []
+    pad_to = 64
+    for it in range(cfg.num_experts):
+        rng = jax.random.PRNGKey(cfg.seed + it)
+        imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        ids = jnp.zeros((2, pad_to), jnp.int32)
+        variables = model.init({"params": rng, "dropout": rng}, imgs, ids,
+                               jnp.ones_like(ids))
+        if cfg.text_pretrained and tok_owner.variables is not None:
+            # seed the in-step BERT tower from the (possibly HF-imported)
+            # frozen tower so both modes start from the same weights
+            variables = dict(variables)
+            p = dict(variables["params"])
+            p["text_encoder"] = tok_owner.variables["params"]
+            variables["params"] = p
+        trainer = TrainableTextTrainer(
+            model, variables, lr_img=cfg.lr_teacher_img,
+            lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom,
+            weight_decay=cfg.l2, seed=cfg.seed + it)
+
+        img_traj = [trainer.snapshot_image_params()]
+        txt_traj = [trainer.snapshot_text_params()]
+        for e in range(cfg.train_epochs):
+            train_loss, train_acc = trainer.train_epoch_captions(
+                trainloader, tok_owner.tokenize, pad_to=pad_to)
+            i2t, t2i = epoch_test(testloader, model, trainer.variables,
+                                  bert_test_embed, cfg.k_test)
+            val = itm_eval(i2t, t2i, testloader.dataset.txt2img,
+                           testloader.dataset.img2txt)
+            logger.log({"train_loss": train_loss, "train_acc": train_acc,
+                        **val})
+            print(f"Itr: {it}\tEpoch: {e}\tTrain Acc: {train_acc:.4f}\t"
+                  f"Img R@1: {val['img_r1']:.2f}\tTxt R@1: {val['txt_r1']:.2f}"
+                  f"\t(text_trainable)")
+            img_traj.append(trainer.snapshot_image_params())
+            txt_traj.append(trainer.snapshot_text_params())
+
+        n = save_expert(save_dir, img_traj, txt_traj)
+        print(f"Saved expert {it} -> buffer index {n} in {save_dir}")
+        saved.append(n)
+    return saved

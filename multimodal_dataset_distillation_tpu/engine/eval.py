@@ -48,7 +48,7 @@ def topk_score_matrix(sims: jnp.ndarray, k: int) -> jnp.ndarray:
 def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test,
               use_pallas=False):
     txt = model.apply(variables, txt_raw.astype(jnp.float32),
-                      method=VLBiEncoder.project_text)
+                      method="project_text")
     txt = l2_normalize(txt)
     img = l2_normalize(image_embeds.astype(jnp.float32))
     if use_pallas:
@@ -73,7 +73,7 @@ def epoch_test(testloader, model: VLBiEncoder, variables,
     """Score matrices (i2t, t2i) for a test loader; see module docstring."""
 
     encode = jax.jit(lambda v, x: model.apply(
-        v, x, method=VLBiEncoder.encode_image))
+        v, x, method="encode_image"))
 
     chunks = []
     pad_to = None

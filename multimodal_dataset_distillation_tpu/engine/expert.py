@@ -300,3 +300,104 @@ class ParallelExpertTrainer:
         return jax.tree_util.tree_map(
             lambda x: np.asarray(x[k]),
             self.variables["params"]["text_projection"])
+
+
+class TrainableTextTrainer:
+    """Expert trainer for ``--text_trainable`` (buffer.py:49-50): the txt
+    optimizer covers the full BERT tower; the projection stays frozen at
+    init (exactly the reference's optimizer-group split).  Inputs are
+    tokenized on host and padded to a static length so the step jits once.
+    """
+
+    def __init__(self, model, variables: Dict, *, lr_img: float,
+                 lr_txt: float, momentum: float = 0.0,
+                 weight_decay: float = 0.0, seed: int = 0, mesh=None):
+        self.model = model
+        self.mesh = mesh
+        self.variables = dict(variables)
+        self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
+        self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
+        params = self.variables["params"]
+        self.opt_img = self.tx_img.init(params["image_encoder"])
+        self.opt_txt = self.tx_txt.init(params["text_encoder"])
+        self.rng = jax.random.PRNGKey(seed)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
+
+        @jax.jit
+        def step(variables, opt_img, opt_txt, images, ids, mask, rng):
+            params = variables["params"]
+            state = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(img_p, txt_p):
+                p = dict(params)
+                p["image_encoder"] = img_p
+                p["text_encoder"] = txt_p
+                vs = {"params": p, **state}
+                if state:
+                    (loss, acc), new_state = model.apply(
+                        vs, images, ids, mask, train=True,
+                        rngs={"dropout": rng}, mutable=list(state.keys()))
+                else:
+                    loss, acc = model.apply(vs, images, ids, mask, train=True,
+                                            rngs={"dropout": rng})
+                    new_state = {}
+                return loss, (acc, new_state)
+
+            (loss, (acc, new_state)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    params["image_encoder"], params["text_encoder"])
+            upd_i, opt_img = tx_img.update(grads[0], opt_img,
+                                           params["image_encoder"])
+            upd_t, opt_txt = tx_txt.update(grads[1], opt_txt,
+                                           params["text_encoder"])
+            new_params = dict(params)
+            new_params["image_encoder"] = optax.apply_updates(
+                params["image_encoder"], upd_i)
+            new_params["text_encoder"] = optax.apply_updates(
+                params["text_encoder"], upd_t)
+            new_vars = {"params": new_params, **new_state}
+            return new_vars, opt_img, opt_txt, loss, acc
+
+        return step
+
+    def train_batch(self, images: np.ndarray, input_ids: np.ndarray,
+                    attention_mask: np.ndarray) -> Tuple[float, float]:
+        self.rng, sub = jax.random.split(self.rng)
+        (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
+            self.variables, self.opt_img, self.opt_txt,
+            jnp.asarray(images), jnp.asarray(input_ids),
+            jnp.asarray(attention_mask), sub)
+        return float(loss), float(acc)
+
+    def train_epoch_captions(self, loader, tokenize, pad_to: int = 64
+                             ) -> Tuple[float, float]:
+        """``tokenize(captions) -> (ids, mask)``; padded/truncated to a
+        static ``pad_to`` so XLA never recompiles."""
+        loss_avg = acc_avg = num = 0.0
+        for batch in loader:
+            images, captions = batch[0], batch[1]
+            ids, mask = tokenize(list(captions))
+            out_i = np.zeros((len(captions), pad_to), np.int32)
+            out_m = np.zeros((len(captions), pad_to), np.int32)
+            n = min(ids.shape[1], pad_to)
+            out_i[:, :n] = ids[:, :n]
+            out_m[:, :n] = mask[:, :n]
+            loss, acc = self.train_batch(images, out_i, out_m)
+            b = len(images)
+            loss_avg += loss * b
+            acc_avg += acc
+            num += b
+        return loss_avg / max(num, 1), acc_avg / max(num, 1)
+
+    def snapshot_image_params(self):
+        return jax.tree_util.tree_map(
+            np.asarray, self.variables["params"]["image_encoder"])
+
+    def snapshot_text_params(self):
+        """Snapshot the BERT tower (reference buffer.py:50,68 in
+        text_trainable mode)."""
+        return jax.tree_util.tree_map(
+            np.asarray, self.variables["params"]["text_encoder"])

@@ -70,6 +70,57 @@ class VLBiEncoder(nn.Module):
         return contrastive_loss_and_acc(img, txt, FIXED_LOGIT_SCALE)
 
 
+class VLBiEncoderTrainableText(nn.Module):
+    """Bi-encoder with the text tower *inside* the train step.
+
+    Reference ``--text_trainable`` mode (buffer.py:49-50): the txt
+    optimizer covers the full BERT encoder instead of the projection —
+    the projection stays frozen at init — and per-epoch snapshots record
+    the BERT parameters.  Takes tokenized ``(input_ids, attention_mask)``
+    so the whole step stays one jitted program (static padded length).
+    """
+
+    image_encoder_name: str = "nfnet"
+    image_embedding: int = 2304
+    bert_variant: str = "base"
+    transfer: bool = False
+
+    def setup(self):
+        from multimodal_dataset_distillation_tpu.models.bert import (
+            BERT_BASE,
+            BERT_TINY,
+            BertEncoder,
+        )
+
+        bert_cfg = BERT_BASE if self.bert_variant == "base" else BERT_TINY
+        self.image_encoder = ImageTower(self.image_encoder_name, self.transfer)
+        self.text_encoder = BertEncoder(bert_cfg)
+        self.text_projection = ProjectionHead(
+            embedding_dim=bert_cfg.hidden_size,
+            projection_dim=self.image_embedding)
+
+    def encode_image(self, images: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        return self.image_encoder(images, train=train)
+
+    def encode_text(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                    *, train: bool = False) -> jnp.ndarray:
+        cls = self.text_encoder(input_ids, attention_mask)[:, 0, :]
+        return self.text_projection(cls, deterministic=not train)
+
+    def project_text(self, text_features: jnp.ndarray, *,
+                     train: bool = False) -> jnp.ndarray:
+        """Cached-embedding path for ``epoch_test`` (the reference scores
+        with the precomputed CLS cache even in text_trainable mode)."""
+        return self.text_projection(text_features, deterministic=not train)
+
+    def __call__(self, images: jnp.ndarray, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray, *,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        img = self.encode_image(images, train=train).astype(jnp.float32)
+        txt = self.encode_text(input_ids, attention_mask, train=train)
+        return contrastive_loss_and_acc(img, txt, FIXED_LOGIT_SCALE)
+
+
 def build_bi_encoder(cfg: Config) -> VLBiEncoder:
     """Build from a :class:`Config` like ``CLIPModel_full(args, eval_stage)``.
 

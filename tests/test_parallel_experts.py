@@ -79,3 +79,52 @@ def test_snapshots_are_per_expert():
     l0 = jax.tree_util.tree_leaves(s0)
     l1 = jax.tree_util.tree_leaves(s1)
     assert any(not np.allclose(a, b) for a, b in zip(l0, l1))
+
+
+def test_trainable_text_expert_mode():
+    """--text_trainable (buffer.py:49-50): txt optimizer + snapshots cover
+    the full BERT tower; projection stays frozen at init."""
+    import jax.numpy as jnp
+
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        TrainableTextTrainer,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoderTrainableText,
+    )
+
+    model = VLBiEncoderTrainableText(image_encoder_name="convnet_tiny",
+                                     image_embedding=64, bert_variant="tiny")
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, imgs, ids,
+                           jnp.ones_like(ids))
+    proj_before = jax.tree_util.tree_map(
+        np.asarray, variables["params"]["text_projection"])
+    bert_before = jax.tree_util.tree_map(
+        np.asarray, variables["params"]["text_encoder"])
+
+    t = TrainableTextTrainer(model, variables, lr_img=0.05, lr_txt=0.01,
+                             seed=0)
+    r = np.random.RandomState(0)
+    for _ in range(2):
+        loss, acc = t.train_batch(
+            r.randn(4, 16, 16, 3).astype(np.float32),
+            r.randint(1, 100, (4, 16)).astype(np.int32),
+            np.ones((4, 16), np.int32))
+    assert np.isfinite(loss)
+
+    proj_after = t.variables["params"]["text_projection"]
+    bert_after = t.variables["params"]["text_encoder"]
+    # projection frozen, BERT moved
+    for a, b in zip(jax.tree_util.tree_leaves(proj_before),
+                    jax.tree_util.tree_leaves(proj_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(bert_before),
+                                jax.tree_util.tree_leaves(bert_after)))
+    assert moved
+    # snapshot is the BERT tower
+    snap = t.snapshot_text_params()
+    assert set(snap.keys()) == set(bert_after.keys())
