@@ -119,7 +119,11 @@ class Config:
     name: str = field(
         default_factory=lambda: datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
     )
-    disable_wandb: bool = True
+    # wandb on by default like the reference (only Buffer_ROCO_Test honors
+    # the disable flag there; here it works everywhere and degrades to
+    # JSONL when wandb is unavailable — WANDB_MODE=offline is forced so
+    # air-gapped runs never block on network)
+    disable_wandb: bool = False
     distributed: bool = False
     margin: float = 0.2
     measure: str = "cosine"

@@ -30,11 +30,14 @@ class RunLogger:
         self.name = name or time.strftime("%Y-%m-%d %H:%M:%S")
         if not disable_wandb:
             try:
+                # never block on network in air-gapped runs; `wandb sync`
+                # uploads offline runs later
+                os.environ.setdefault("WANDB_MODE", "offline")
                 import wandb
 
                 self._wandb = wandb
                 wandb.init(project=project, config=config, name=name)
-                self.name = wandb.run.name
+                self.name = wandb.run.name or self.name
             except Exception as e:
                 print(f"[log] wandb unavailable ({e}); falling back to JSONL")
         os.makedirs(log_dir, exist_ok=True)
