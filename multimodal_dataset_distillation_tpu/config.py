@@ -137,6 +137,9 @@ class Config:
     inner_scale: str = "fixed"
     # dtype of inner-unroll compute ("float32" for parity, "bfloat16" for speed)
     inner_dtype: str = "float32"
+    # expert-phase compute dtype ("bfloat16" = the fork's AMP epoch,
+    # epoch.py:59-98, in TPU form: in-graph casts, f32 master params)
+    train_dtype: str = "float32"
     # jax.checkpoint each inner step (memory/time tradeoff for long unrolls)
     remat_inner: bool = True
     # checkpoint every N inner steps instead of every step (N must divide

@@ -48,9 +48,13 @@ class BiEncoderTrainer:
 
     def __init__(self, model: VLBiEncoder, variables: Dict, *,
                  lr_img: float, lr_txt: float, momentum: float = 0.0,
-                 weight_decay: float = 0.0, seed: int = 0, mesh=None):
+                 weight_decay: float = 0.0, seed: int = 0, mesh=None,
+                 compute_dtype: str = "float32"):
         self.model = model
         self.mesh = mesh  # data-parallel batch sharding (DataParallel)
+        # "bfloat16" = the fork's AMP epoch (epoch.py:59-98) on TPU:
+        # params/inputs cast in-graph, gradients accumulate f32
+        self.compute_dtype = compute_dtype
         self.variables = dict(variables)
         self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
         self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
@@ -74,6 +78,7 @@ class BiEncoderTrainer:
     def _build_step(self):
         model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
         mesh = self.mesh
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
         @jax.jit
         def step(variables, opt_img, opt_txt, images, text_feats, rng):
@@ -85,10 +90,18 @@ class BiEncoderTrainer:
                         mesh, P("data", *([None] * (images.ndim - 1)))))
                 text_feats = jax.lax.with_sharding_constraint(
                     text_feats, NamedSharding(mesh, P("data", None)))
+            if cdt is not None:
+                images = images.astype(cdt)
             params = variables["params"]
             state = {k: v for k, v in variables.items() if k != "params"}
 
             def loss_fn(p):
+                if cdt is not None:
+                    # mixed precision: cast inside the graph so grads
+                    # w.r.t. the f32 master params flow through the cast
+                    p = jax.tree_util.tree_map(
+                        lambda x: x.astype(cdt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
                 vs = {"params": p, **state}
                 if state:
                     (loss, acc), new_state = model.apply(

@@ -128,3 +128,34 @@ def test_trainable_text_expert_mode():
     # snapshot is the BERT tower
     snap = t.snapshot_text_params()
     assert set(snap.keys()) == set(bert_after.keys())
+
+
+def test_bf16_expert_training_tracks_f32():
+    """--train_dtype bfloat16 (fork AMP analog): finite, tracks f32."""
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer,
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoder,
+    )
+
+    cfg = Config(image_encoder="convnet_tiny", image_size=16, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+    rng = np.random.RandomState(0)
+    images = rng.randn(8, 16, 16, 3).astype(np.float32)
+    texts = rng.randn(8, 768).astype(np.float32)
+
+    a = BiEncoderTrainer(model, variables, lr_img=0.05, lr_txt=0.05, seed=0)
+    b = BiEncoderTrainer(model, variables, lr_img=0.05, lr_txt=0.05, seed=0,
+                         compute_dtype="bfloat16")
+    la, _ = a.train_batch(images, texts)
+    lb, _ = b.train_batch(images, texts)
+    assert np.isfinite(float(lb))
+    assert abs(float(la) - float(lb)) / max(abs(float(la)), 1e-6) < 0.05
+    # master params stay f32
+    leaves = jax.tree_util.tree_leaves(b.variables["params"])
+    assert all(np.asarray(x).dtype == np.float32 for x in leaves)
