@@ -173,6 +173,11 @@ class Config:
     # gradients (0 = off = reference behavior); guards against the
     # syn_lr runaway divergence mode at aggressive outer LRs
     max_grad_norm: float = 0.0
+    # distill only one modality (declared-but-dead flags in the reference,
+    # distill_original.py:578-579; implemented here: the other modality's
+    # synthetic data and inner LR stay frozen)
+    image_only: bool = False
+    text_only: bool = False
 
     # ---- derived / runtime (not flags) ----
     lr_net: float = 0.1                  # set from learned syn_lr at eval time

@@ -233,6 +233,14 @@ class Distiller:
                     img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys)
             g_img, g_txt, g_li, g_lt = grads
 
+            # --image_only/--text_only: freeze the other modality
+            # (distill_original.py:578-579, dead there, functional here)
+            if getattr(cfg, "text_only", False):
+                g_img = jnp.zeros_like(g_img)
+                g_li = jnp.zeros_like(g_li)
+            if getattr(cfg, "image_only", False):
+                g_txt = jnp.zeros_like(g_txt)
+                g_lt = jnp.zeros_like(g_lt)
             upd_img, opt_img = tx_img.update(g_img, state.opt_img,
                                              state.image_syn)
             upd_txt, opt_txt = tx_txt.update(g_txt, state.opt_txt,

@@ -226,3 +226,29 @@ def test_max_grad_norm_clips_outer_updates():
     after = np.asarray(d2.state.image_syn)
     # with a vanishing clip norm the update is ~lr * 1e-8: essentially zero
     assert np.max(np.abs(after - before)) < 1e-5
+
+
+@pytest.mark.parametrize("mode", ["image_only", "text_only"])
+def test_single_modality_distillation(mode):
+    """--image_only/--text_only freeze the other modality's data + LR."""
+    cfg, d, i0, t0, it, tt = tiny_setup()
+    cfg2 = cfg.replace(**{mode: True})
+    d2 = Distiller(cfg2, d.model,
+                   {"params": {
+                       "image_encoder": d._unravel_img(jnp.asarray(i0)),
+                       "text_projection": d._unravel_txt(jnp.asarray(t0))}},
+                   np.asarray(d.state.image_syn),
+                   np.asarray(d.state.text_syn))
+    img_before = np.asarray(d2.state.image_syn).copy()
+    txt_before = np.asarray(d2.state.text_syn).copy()
+    d2.step(i0, t0, it, tt, d2.sample_indices(np.random.RandomState(0)))
+    img_moved = not np.allclose(np.asarray(d2.state.image_syn), img_before)
+    txt_moved = not np.allclose(np.asarray(d2.state.text_syn), txt_before)
+    if mode == "image_only":
+        assert img_moved and not txt_moved
+        np.testing.assert_allclose(float(d2.state.syn_lr_txt),
+                                   cfg.lr_teacher_txt, rtol=1e-6)
+    else:
+        assert txt_moved and not img_moved
+        np.testing.assert_allclose(float(d2.state.syn_lr_img),
+                                   cfg.lr_teacher_img, rtol=1e-6)
