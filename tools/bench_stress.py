@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Stress + expert-throughput measurements (BASELINE configs #1/#5).
+
+1. Scaled distill: num_queries=500, syn_steps=20, mb=100, NFNet-L0 —
+   stresses scan memory/remat (the reference OOMs well before this).
+2. Expert step: NFNet-L0 + projection, batch 128 @224 — images/sec and
+   epochs/hr on Flickr-sized data (29k pairs).
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer, init_bi_encoder)
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        build_bi_encoder)
+    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+    # ---- expert step throughput ----
+    cfg = Config(image_encoder="nfnet", image_size=224,
+                 train_dtype="bfloat16", seed=0)
+    model = build_bi_encoder(cfg)
+    variables = init_bi_encoder(model, cfg)
+    tr = BiEncoderTrainer(model, variables, lr_img=0.1, lr_txt=0.1,
+                          compute_dtype="bfloat16", seed=0)
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(128, 224, 224, 3).astype(np.float32)
+    txts = rng.randn(128, 768).astype(np.float32)
+    l, a = tr.train_batch(imgs, txts)  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        l, a = tr.train_batch(imgs, txts)
+        jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / 10
+    ips = 128 / dt
+    flickr_batches = 29000 // 128
+    print(f"expert step: {dt*1e3:.1f} ms/batch128 = {ips:.0f} img/s "
+          f"=> {3600 / (dt * flickr_batches):.1f} Flickr epochs/hr (bf16)")
+
+    # ---- scaled distill stress ----
+    cfg = Config(image_encoder="nfnet", image_size=224, num_queries=500,
+                 syn_steps=20, mini_batch_size=100, expert_epochs=1,
+                 inner_dtype="bfloat16", scan_unroll=1,
+                 lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
+    d = Distiller(cfg, model, variables,
+                  rng.randn(500, 224, 224, 3).astype(np.float32),
+                  rng.randn(500, 768).astype(np.float32))
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    i0 = np.asarray(img_flat); t0_ = np.asarray(txt_flat)
+    traj_i = d.put_trajectory(np.stack([i0, i0 * 1.01]))
+    traj_t = d.put_trajectory(np.stack([t0_, t0_ * 1.01]))
+    m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
+        jax.block_until_ready(m["grand_loss"])
+    dt = (time.perf_counter() - t0) / 3
+    print(f"scaled distill (nq=500, syn_steps=20): {dt:.2f} s/step, "
+          f"loss={float(m['grand_loss']):.4f} (finite="
+          f"{np.isfinite(float(m['grand_loss']))})")
+
+
+if __name__ == "__main__":
+    main()
