@@ -111,7 +111,8 @@ def main(cfg: Config) -> List[int]:
         trainer = BiEncoderTrainer(
             model, variables, lr_img=cfg.lr_teacher_img,
             lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
-            seed=cfg.seed + it, mesh=mesh, compute_dtype=cfg.train_dtype)
+            seed=cfg.seed + it, mesh=mesh, compute_dtype=cfg.train_dtype,
+            device_augment=cfg.device_augment)
 
         img_traj = [trainer.snapshot_image_params()]
         txt_traj = [trainer.snapshot_text_params()]

@@ -169,6 +169,9 @@ class Config:
     # C++ fastimage JPEG decode for the train input pipeline (GIL-free
     # thread pool, DCT-scaled decode); PIL fallback per image
     native_decode: bool = True
+    # run RandAugment(2,5) + CLIP normalization inside the jitted expert
+    # step (loaders emit raw [0,255] crops); host PIL RandAugment when off
+    device_augment: bool = False
     # optional global-norm clipping of the three outer distillation
     # gradients (0 = off = reference behavior); guards against the
     # syn_lr runaway divergence mode at aggressive outer LRs
@@ -213,10 +216,11 @@ _BOOL_VALUED = {
     "load_npy", "only_has_image_projection", "grounding", "distill", "draw",
     "transfer", "std", "load_all", "texture", "recursive",
 }
-# Flags declared as store_true in the reference.
+# Flags declared as store_true in the reference (+ new boolean switches
+# that default to False).
 _STORE_TRUE = {
     "zca", "decay", "max_violation", "force_save", "disable_wandb",
-    "distributed", "no_aug", "basis",
+    "distributed", "no_aug", "basis", "device_augment",
 }
 # `--dsa` is a str choice {'True','False'} in the reference.
 _TRISTATE_STR = {"dsa"}

@@ -36,7 +36,14 @@ from multimodal_dataset_distillation_tpu.data.transforms import (
 
 def create_dataset(cfg: Config, min_scale: float = 0.5):
     """(train, val, test) with reference transforms (data/__init__.py:193-227)."""
-    if getattr(cfg, "native_decode", False):
+    if getattr(cfg, "device_augment", False):
+        from multimodal_dataset_distillation_tpu.data.transforms import (
+            make_train_transform_raw,
+        )
+
+        # raw [0,255] crops; RandAugment + normalize run in the train step
+        t_train = make_train_transform_raw(cfg.image_size, min_scale)
+    elif getattr(cfg, "native_decode", False):
         from multimodal_dataset_distillation_tpu.data.transforms import (
             make_train_transform_native,
         )

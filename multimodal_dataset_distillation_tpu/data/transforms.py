@@ -93,6 +93,43 @@ def make_test_transform(image_size: int = 224) -> Callable:
     return transform
 
 
+def make_train_transform_raw(image_size: int = 224,
+                             min_scale: float = 0.5) -> Callable:
+    """Crop/resize/flip only, output raw float32 [0,255] HWC — for the
+    --device_augment pipeline where RandAugment + CLIP normalization run
+    inside the jitted train step (ops/randaugment_device.py).  Uses the
+    C++ fastimage decoder on JPEG bytes, PIL otherwise.
+    """
+    import io
+
+    def pil_path(img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        img = random_resized_crop(img, image_size, scale=(min_scale, 1.0))
+        if np.random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(img, np.float32)
+
+    def transform(data) -> np.ndarray:
+        if isinstance(data, Image.Image):
+            return pil_path(data)
+        from multimodal_dataset_distillation_tpu import native
+
+        if native.get_fastimage() is not None and native.is_jpeg(data):
+            dims = native.read_dims(data)
+            if dims is not None:
+                x, y, cw, ch = sample_crop_params(
+                    dims[0], dims[1], scale=(min_scale, 1.0))
+                flip = bool(np.random.random() < 0.5)
+                out, failed = native.decode_batch(
+                    [(data, (x, y, cw, ch), flip)], image_size, n_threads=1)
+                if not failed:
+                    return out[0].astype(np.float32)
+        return pil_path(Image.open(io.BytesIO(data)).convert("RGB"))
+
+    transform.accepts_bytes = True
+    return transform
+
+
 def make_train_transform_native(image_size: int = 224,
                                 min_scale: float = 0.5) -> Callable:
     """Train transform over raw file *bytes*: C++ fastimage decode+crop+

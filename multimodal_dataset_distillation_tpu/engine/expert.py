@@ -49,12 +49,16 @@ class BiEncoderTrainer:
     def __init__(self, model: VLBiEncoder, variables: Dict, *,
                  lr_img: float, lr_txt: float, momentum: float = 0.0,
                  weight_decay: float = 0.0, seed: int = 0, mesh=None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 device_augment: bool = False):
         self.model = model
         self.mesh = mesh  # data-parallel batch sharding (DataParallel)
         # "bfloat16" = the fork's AMP epoch (epoch.py:59-98) on TPU:
         # params/inputs cast in-graph, gradients accumulate f32
         self.compute_dtype = compute_dtype
+        # --device_augment: images arrive as raw [0,255] crops and
+        # RandAugment(2,5) + CLIP normalization run inside the step
+        self.device_augment = device_augment
         self.variables = dict(variables)
         self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
         self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
@@ -79,6 +83,7 @@ class BiEncoderTrainer:
         model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
         mesh = self.mesh
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        device_augment = self.device_augment
 
         @jax.jit
         def step(variables, opt_img, opt_txt, images, text_feats, rng):
@@ -90,6 +95,19 @@ class BiEncoderTrainer:
                         mesh, P("data", *([None] * (images.ndim - 1)))))
                 text_feats = jax.lax.with_sharding_constraint(
                     text_feats, NamedSharding(mesh, P("data", None)))
+            if device_augment:
+                from multimodal_dataset_distillation_tpu.data.transforms import (
+                    CLIP_MEAN,
+                    CLIP_STD,
+                )
+                from multimodal_dataset_distillation_tpu.ops.randaugment_device import (
+                    random_augment_device,
+                )
+
+                rng, ka = jax.random.split(rng)
+                images = random_augment_device(images, ka)
+                images = ((images / 255.0 - jnp.asarray(CLIP_MEAN))
+                          / jnp.asarray(CLIP_STD))
             if cdt is not None:
                 images = images.astype(cdt)
             params = variables["params"]

@@ -99,3 +99,47 @@ def test_random_augment_device_batch():
     out3 = np.asarray(rd.random_augment_device(
         jnp.asarray(imgs), jax.random.PRNGKey(7)))
     assert not np.array_equal(out, out3)
+
+
+def test_device_augment_trainer_path():
+    """--device_augment: raw [0,255] crops in, augment+normalize in-step."""
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        BiEncoderTrainer,
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoder,
+    )
+
+    cfg = Config(image_encoder="convnet_tiny", image_size=16, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+    t = BiEncoderTrainer(model, variables, lr_img=0.05, lr_txt=0.05, seed=0,
+                         device_augment=True)
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (8, 16, 16, 3)).astype(np.float32)
+    texts = rng.randn(8, 768).astype(np.float32)
+    loss, acc = t.train_batch(raw, texts)
+    assert np.isfinite(float(loss))
+
+
+def test_raw_transform_outputs_uint8_range(tmp_path):
+    import io
+    from PIL import Image as PILImage
+    from multimodal_dataset_distillation_tpu.data.transforms import (
+        make_train_transform_raw,
+    )
+
+    rng = np.random.RandomState(0)
+    img = PILImage.fromarray(rng.randint(0, 256, (64, 80, 3), np.uint8))
+    t = make_train_transform_raw(image_size=32)
+    out = t(img)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    assert out.max() > 2.0  # raw scale, not normalized
+    # bytes path (JPEG through the native decoder or PIL fallback)
+    buf = io.BytesIO(); img.save(buf, format="JPEG")
+    out2 = t(buf.getvalue())
+    assert out2.shape == (32, 32, 3) and out2.max() > 2.0
