@@ -157,8 +157,16 @@ class Distiller:
 
         mesh = self.mesh
 
+        carry_dtype = (jnp.bfloat16 if getattr(cfg, "carry_dtype", "float32")
+                       == "bfloat16" else None)
+
         def inner_step(lr_i, lr_t, image_syn, text_syn, carry, inp):
             thi, tht = carry
+            if carry_dtype is not None:
+                # experimental: carry checkpointed in bf16 (halves the
+                # live state of long unrolls); update math stays f32
+                thi = thi.astype(jnp.float32)
+                tht = tht.astype(jnp.float32)
             idx, key = inp
             x = image_syn[idx].astype(inner_dtype)
             y = text_syn[idx].astype(inner_dtype)
@@ -187,10 +195,18 @@ class Distiller:
                 return _sym_ce(logits)
 
             gi, gt = jax.grad(closs, argnums=(0, 1))(thi, tht)
-            return (thi - lr_i * gi, tht - lr_t * gt), None
+            new_i = thi - lr_i * gi
+            new_t = tht - lr_t * gt
+            if carry_dtype is not None:
+                new_i = new_i.astype(carry_dtype)
+                new_t = new_t.astype(carry_dtype)
+            return (new_i, new_t), None
 
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
+            if carry_dtype is not None:
+                img_th0 = img_th0.astype(carry_dtype)
+                txt_th0 = txt_th0.astype(carry_dtype)
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
             g = max(1, int(getattr(cfg, "remat_group", 1)))
             if cfg.remat_inner and g > 1 and idx_seq.shape[0] % g == 0:
@@ -214,10 +230,14 @@ class Distiller:
                 (thiF, thtF), _ = jax.lax.scan(
                     f, (img_th0, txt_th0), (idx_seq, keys),
                     unroll=max(1, int(getattr(cfg, "scan_unroll", 1))))
+            thiF = thiF.astype(img_tgt.dtype)
+            thtF = thtF.astype(txt_tgt.dtype)
+            th0i = img_th0.astype(img_tgt.dtype)
+            th0t = txt_th0.astype(txt_tgt.dtype)
             img_loss = (jnp.sum((thiF - img_tgt) ** 2)
-                        / jnp.sum((img_th0 - img_tgt) ** 2))
+                        / jnp.sum((th0i - img_tgt) ** 2))
             txt_loss = (jnp.sum((thtF - txt_tgt) ** 2)
-                        / jnp.sum((txt_th0 - txt_tgt) ** 2))
+                        / jnp.sum((th0t - txt_tgt) ** 2))
             return img_loss + txt_loss, (img_loss, txt_loss)
 
         tx_img, tx_txt, tx_lr = self.tx_img, self.tx_txt, self.tx_lr
