@@ -147,10 +147,9 @@ class Config:
     remat_group: int = 1
     # lax.scan unroll factor for the inner-step scan (XLA scheduling knob)
     scan_unroll: int = 1
-    # EXPERIMENTAL: store the unroll carry (the student flat params) in
-    # bfloat16 — halves the live state of long unrolls; update math stays
-    # f32. Quantify gradient fidelity before using for quality runs.
-    carry_dtype: str = "float32"
+    # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
+    # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
+    # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -157,16 +157,8 @@ class Distiller:
 
         mesh = self.mesh
 
-        carry_dtype = (jnp.bfloat16 if getattr(cfg, "carry_dtype", "float32")
-                       == "bfloat16" else None)
-
         def inner_step(lr_i, lr_t, image_syn, text_syn, carry, inp):
             thi, tht = carry
-            if carry_dtype is not None:
-                # experimental: carry checkpointed in bf16 (halves the
-                # live state of long unrolls); update math stays f32
-                thi = thi.astype(jnp.float32)
-                tht = tht.astype(jnp.float32)
             idx, key = inp
             x = image_syn[idx].astype(inner_dtype)
             y = text_syn[idx].astype(inner_dtype)
@@ -197,16 +189,10 @@ class Distiller:
             gi, gt = jax.grad(closs, argnums=(0, 1))(thi, tht)
             new_i = thi - lr_i * gi
             new_t = tht - lr_t * gt
-            if carry_dtype is not None:
-                new_i = new_i.astype(carry_dtype)
-                new_t = new_t.astype(carry_dtype)
             return (new_i, new_t), None
 
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
-            if carry_dtype is not None:
-                img_th0 = img_th0.astype(carry_dtype)
-                txt_th0 = txt_th0.astype(carry_dtype)
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
             g = max(1, int(getattr(cfg, "remat_group", 1)))
             if cfg.remat_inner and g > 1 and idx_seq.shape[0] % g == 0:
@@ -243,6 +229,24 @@ class Distiller:
         tx_img, tx_txt, tx_lr = self.tx_img, self.tx_txt, self.tx_lr
         # exposed for gradient-correctness tests (finite differences)
         self.grand_loss = grand_loss
+
+        def unroll(image_syn, text_syn, lr_i, lr_t, img_th0, txt_th0,
+                   idx_seq, keys):
+            """Diagnostic: the same inner unroll, returning EVERY per-step
+            student parameter vector (syn_steps, P) — used by the
+            reference-parity harness to compare step-for-step against the
+            torch ReparamModule loop (distill_original.py:413-437)."""
+            f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
+
+            def collect(carry, inp):
+                out, _ = f(carry, inp)
+                return out, out
+
+            _, (his, hts) = jax.lax.scan(collect, (img_th0, txt_th0),
+                                         (idx_seq, keys))
+            return his, hts
+
+        self.unroll = unroll
 
         def outer_update(state, img_th0, txt_th0, img_tgt, txt_tgt,
                          idx_seq, keys):
@@ -417,6 +421,10 @@ class ExpertCycler:
         expert/file cursors exactly like distill.py:450-465."""
         img_traj = self.img_buffer[self.expert_idx]
         txt_traj = self.txt_buffer[self.expert_idx]
+        # stable identity of the trajectory just read, for the device cache
+        # (filename + index within file; id() would be one GC away from
+        # silent wrong-trajectory reuse)
+        self._last_key = (self.img_files[self.file_idx], self.expert_idx)
         self.expert_idx += 1
         if self.expert_idx == len(self.img_buffer):
             self.expert_idx = 0
@@ -452,7 +460,7 @@ class ExpertCycler:
         import jax.numpy as _jnp
 
         img_traj, txt_traj, start = self._advance()
-        key = id(img_traj)
+        key = self._last_key
         hit = self._device_cache.get(key)
         if hit is None:
             hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),

@@ -43,15 +43,18 @@ class VLBiEncoder(nn.Module):
     image_embedding: int = 2304          # projection target (networks.py:810-826)
     only_image_projection: bool = False
     transfer: bool = False
+    proj_dropout: float = 0.1            # ProjectionHead Dropout(0.1), networks.py:634
 
     def setup(self):
         self.image_encoder = ImageTower(self.image_encoder_name, self.transfer)
         self.text_projection = ProjectionHead(
             embedding_dim=self.text_embedding,
-            projection_dim=self.image_embedding)
+            projection_dim=self.image_embedding,
+            dropout=self.proj_dropout)
         if self.only_image_projection:
             self.image_projection = ProjectionHead(
-                embedding_dim=self.image_embedding)
+                embedding_dim=self.image_embedding,
+                dropout=self.proj_dropout)
 
     def encode_image(self, images: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         feats = self.image_encoder(images, train=train)

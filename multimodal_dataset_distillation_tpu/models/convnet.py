@@ -23,12 +23,16 @@ from multimodal_dataset_distillation_tpu.models.layers import ACTIVATIONS
 
 
 def _norm(kind: str, channels: int, name: str):
+    # epsilon=1e-5 everywhere: torch's GroupNorm/LayerNorm default, which
+    # is what the reference zoo uses (networks.py:79-97); flax defaults
+    # to 1e-6 — matched for cross-framework numerics parity
     if kind == "instancenorm":
-        return nn.GroupNorm(num_groups=channels, name=name)
+        return nn.GroupNorm(num_groups=channels, epsilon=1e-5, name=name)
     if kind == "groupnorm":
-        return nn.GroupNorm(num_groups=min(32, channels), name=name)
+        return nn.GroupNorm(num_groups=min(32, channels), epsilon=1e-5,
+                            name=name)
     if kind == "layernorm":
-        return nn.LayerNorm(name=name)
+        return nn.LayerNorm(epsilon=1e-5, name=name)
     if kind == "batchnorm":
         return nn.BatchNorm(name=name)
     if kind == "none":

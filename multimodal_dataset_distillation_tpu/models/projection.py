@@ -30,4 +30,6 @@ class ProjectionHead(nn.Module):
         h = nn.Dense(self.projection_dim, name="fc")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = h + projected
-        return nn.LayerNorm(name="layer_norm")(h)
+        # epsilon=1e-5: torch nn.LayerNorm default (the reference's head,
+        # networks.py:645); flax's default is 1e-6
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(h)
