@@ -57,11 +57,14 @@ def gamma_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
 class WSConv(nn.Module):
     """Scaled weight-standardized conv (NF-nets' ScaledStdConv2d).
 
-    weight' = gain * gamma * (w - mean(w)) / sqrt(var(w) * fan_in + eps)
+    weight' = gain * gamma * (w - mean(w)) / sqrt((var(w) + eps) * fan_in)
     with per-output-channel statistics and learnable per-channel ``gain``.
-    ``gamma`` is folded in by the caller via the variance-preserving
-    activation, so here gamma defaults to 1 (timm folds it into the conv;
-    both conventions are equivalent — we keep it in the conv like timm).
+    The eps placement matches timm's ``ScaledStdConv2d`` exactly (the
+    reference builds these towers from timm, ``networks.py:666``): timm
+    standardizes via ``F.batch_norm`` (i.e. ``/sqrt(var+eps)``) and folds
+    ``fan_in**-0.5`` into the gain — NOT the DM-haiku ``max(var*fan_in,
+    eps)`` convention.  ``gamma`` rides on the variance-preserving
+    activations (timm's ``act_with_gamma``), so it defaults to 1 here.
     """
 
     features: int
@@ -84,7 +87,7 @@ class WSConv(nn.Module):
         fan_in = kshape[0] * kshape[1] * kshape[2]
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
-        scale = jax.lax.rsqrt(jnp.maximum(var * fan_in, self.eps))
+        scale = jax.lax.rsqrt((var + self.eps) * fan_in)
         w = (w - mean) * scale * (gain * self.gamma)[None, None, None, :]
         if self.dtype is not None:
             w = w.astype(self.dtype)
