@@ -65,6 +65,13 @@ def main():
         cfg = cfg.replace(remat_group=int(os.environ["BENCH_REMAT_GROUP"]))
     if os.environ.get("BENCH_SCAN_UNROLL"):
         cfg = cfg.replace(scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
+    if os.environ.get("BENCH_REMAT_POLICY"):
+        cfg = cfg.replace(remat_policy=os.environ["BENCH_REMAT_POLICY"])
+    if os.environ.get("BENCH_PREVENT_CSE"):
+        cfg = cfg.replace(
+            remat_prevent_cse=os.environ["BENCH_PREVENT_CSE"] == "1")
+    if os.environ.get("BENCH_ITERS"):
+        iters = int(os.environ["BENCH_ITERS"])
 
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)

@@ -85,15 +85,50 @@ def main(cfg: Config) -> List[int]:
         logger.finish()
         return saved
 
-    # data-parallel mesh (DataParallel semantics, buffer.py:51-53)
-    mesh = None
-    if cfg.mesh_shape or _n_devices() > 1:
-        from multimodal_dataset_distillation_tpu.parallel.mesh import (
-            get_mesh,
-            maybe_init_distributed,
-        )
+    # data-parallel mesh (DataParallel semantics, buffer.py:51-53) and
+    # multi-host topology.  Two multi-host modes:
+    #   * default: expert-per-host FAN-OUT — experts are independent
+    #     (buffer.py:42), so each process trains its round-robin subset on
+    #     its local devices (zero cross-host traffic; the ideal scaling
+    #     for phase 1)
+    #   * --distributed: cross-host DATA parallelism — one expert at a
+    #     time, the global batch sharded over every process's devices
+    #     (the working superset of the reference's dead DDP scaffolding,
+    #     utils.py:847-869)
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        expert_assignment,
+        get_mesh,
+        maybe_init_distributed,
+    )
 
-        maybe_init_distributed()
+    maybe_init_distributed()
+    import jax
+
+    nproc = jax.process_count()
+    mesh = None
+    expert_ids = list(range(cfg.num_experts))
+    explicit_index = False
+    save_rank0_only = False
+    if nproc > 1 and cfg.distributed:
+        from multimodal_dataset_distillation_tpu.data.pipeline import Loader
+
+        mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        per = max(1, trainloader.batch_size // nproc)
+        trainloader = Loader(trainloader.dataset, per, shuffle=True,
+                             drop_last=True, num_workers=cfg.num_workers,
+                             seed=cfg.seed,
+                             shard=(jax.process_index(), nproc))
+        save_rank0_only = True
+        print(f"[multi-host] DP: {nproc} processes, mesh {dict(mesh.shape)}, "
+              f"per-host batch {per}")
+    elif nproc > 1:
+        expert_ids = list(expert_assignment(cfg.num_experts))
+        mesh = get_mesh((), ("data",), devices=jax.local_devices())
+        explicit_index = True
+        print(f"[multi-host] expert fan-out: process {jax.process_index()} "
+              f"trains experts {expert_ids} on {len(jax.local_devices())} "
+              f"local device(s)")
+    elif cfg.mesh_shape or _n_devices() > 1:
         mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
         print(f"Device mesh: {dict(mesh.shape)}")
 
@@ -105,7 +140,7 @@ def main(cfg: Config) -> List[int]:
         logger.finish()
         return saved
 
-    for it in range(cfg.num_experts):
+    for it in expert_ids:
         model = build_bi_encoder(cfg)
         variables = init_bi_encoder(model, cfg.replace(seed=cfg.seed + it))
         trainer = BiEncoderTrainer(
@@ -141,7 +176,10 @@ def main(cfg: Config) -> List[int]:
                 lr_txt *= 0.1
                 trainer.reset_optimizers(lr_img, lr_txt, cfg.mom, cfg.l2)
 
-        n = save_expert(save_dir, img_traj, txt_traj)
+        if save_rank0_only and jax.process_index() != 0:
+            continue  # DP mode: trajectories are replicated; rank 0 writes
+        n = save_expert(save_dir, img_traj, txt_traj,
+                        index=it if explicit_index else None)
         print(f"Saved expert {it} -> buffer index {n} in {save_dir}")
         saved.append(n)
     logger.finish()

@@ -210,10 +210,28 @@ def main(cfg: Config):
 
             if cfg.draw:
                 run_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)
-                save_visualizations(
+                arts = save_visualizations(
                     run_dir, it, np.asarray(distiller.state.image_syn),
                     np.asarray(distiller.state.text_syn), train_sentences,
                     train_caption_embed, zca=zca)
+                # rich-artifact parity with the reference's per-eval wandb
+                # logging (distill.py:386-394): image grids, pixel/text
+                # histograms, decoded-sentence HTML table
+                for k in ("grid", "clipped_2.5", "zca_grid"):
+                    if k in arts:
+                        logger.log_image(f"Synthetic_Images/{k}", arts[k],
+                                         step=it)
+                logger.log_histogram("Synthetic_Pixels",
+                                     np.asarray(distiller.state.image_syn),
+                                     step=it)
+                logger.log_histogram("Synthetic_Texts",
+                                     np.asarray(distiller.state.text_syn),
+                                     step=it)
+                if "sentences" in arts:
+                    with open(arts["sentences"]) as f:
+                        html = "<br>".join(line.strip() for line in f)
+                    logger.log_html("Synthetic_Sentences", html, step=it,
+                                    path=arts["sentences"])
 
         logger.log({"Synthetic_LR_Image": float(distiller.state.syn_lr_img),
                     "Synthetic_LR_Text": float(distiller.state.syn_lr_txt)},

@@ -145,6 +145,13 @@ class Config:
     # checkpoint every N inner steps instead of every step (N must divide
     # syn_steps; larger N = more memory, less recompute)
     remat_group: int = 1
+    # jax.checkpoint policy for the inner-step remat: "none" (recompute
+    # everything), "dots" (save matmul/conv results), "dots_no_batch"
+    remat_policy: str = "none"
+    # prevent_cse on the inner-step jax.checkpoint. False is safe under
+    # lax.scan (the scan boundary is already a CSE barrier) and lets XLA
+    # fuse the recomputation with the backward pass
+    remat_prevent_cse: bool = True
     # lax.scan unroll factor for the inner-step scan (XLA scheduling knob)
     scan_unroll: int = 1
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in

@@ -23,7 +23,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
-                 seed: Optional[int] = None, prefetch: int = 2):
+                 seed: Optional[int] = None, prefetch: int = 2,
+                 shard: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,10 +32,25 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        # multi-host per-process sharding: (process_index, process_count).
+        # All processes draw the SAME epoch permutation (seed+epoch) and
+        # each takes its contiguous chunk — process-major, so stacking the
+        # per-host batches in jax.devices() order reproduces the global
+        # batch (the working replacement for the reference's dead
+        # DistributedSampler, data/__init__.py:229-234). batch_size is
+        # the PER-PROCESS batch size.
+        self.shard = shard
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.dataset)
+        if self.shard is None:
+            return n
+        pid, nproc = self.shard
+        return n // nproc  # equal shards (drop remainder for static shapes)
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -45,6 +61,10 @@ class Loader:
             rng = (np.random.RandomState(self.seed + self._epoch)
                    if self.seed is not None else np.random)
             rng.shuffle(idx)
+        if self.shard is not None:
+            pid, nproc = self.shard
+            per = len(self.dataset) // nproc
+            idx = idx[pid * per:(pid + 1) * per]
         return idx
 
     def _collate(self, items: List[Tuple]) -> Tuple:

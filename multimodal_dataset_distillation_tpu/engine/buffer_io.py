@@ -95,10 +95,16 @@ def next_free_index(save_dir: str, prefix: str = "img_replay_buffer_") -> int:
 
 def save_expert(save_dir: str, img_trajectory: Sequence[Any],
                 txt_trajectory: Sequence[Any],
-                write_pt: bool = True, write_npz: bool = True) -> int:
-    """Save one expert's (img, txt) trajectories; returns the index used."""
+                write_pt: bool = True, write_npz: bool = True,
+                index: Optional[int] = None) -> int:
+    """Save one expert's (img, txt) trajectories; returns the index used.
+
+    ``index``: explicit buffer index — used by multi-host expert fan-out,
+    where each process owns fixed expert ids and the next-free-index scan
+    (``buffer.py:106-108``) would race across hosts on a shared FS.
+    """
     os.makedirs(save_dir, exist_ok=True)
-    n = next_free_index(save_dir)
+    n = next_free_index(save_dir) if index is None else int(index)
     if write_pt:
         save_trajectories_pt(
             os.path.join(save_dir, f"img_replay_buffer_{n}.pt"),

@@ -191,6 +191,23 @@ class Distiller:
             new_t = tht - lr_t * gt
             return (new_i, new_t), None
 
+        # remat configuration. prevent_cse=False is safe (and recommended)
+        # under lax.scan — the scan boundary already provides the barrier
+        # jax.checkpoint's CSE-prevention exists for — and lets XLA fuse
+        # the recomputation with the backward pass. Policies trade memory
+        # for less recompute: "dots" saves matmul/conv results so the
+        # backward does not re-run them.
+        _policies = {
+            "none": None,
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        ckpt = functools.partial(
+            jax.checkpoint,
+            prevent_cse=bool(getattr(cfg, "remat_prevent_cse", True)),
+            policy=_policies[getattr(cfg, "remat_policy", "none")])
+
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
@@ -207,12 +224,12 @@ class Distiller:
                     return out, None
 
                 (thiF, thtF), _ = jax.lax.scan(
-                    jax.checkpoint(group), (img_th0, txt_th0),
+                    ckpt(group), (img_th0, txt_th0),
                     (idx_seq.reshape(n, g, -1),
                      keys.reshape(n, g, *keys.shape[1:])))
             else:
                 if cfg.remat_inner:
-                    f = jax.checkpoint(f)
+                    f = ckpt(f)
                 (thiF, thtF), _ = jax.lax.scan(
                     f, (img_th0, txt_th0), (idx_seq, keys),
                     unroll=max(1, int(getattr(cfg, "scan_unroll", 1))))

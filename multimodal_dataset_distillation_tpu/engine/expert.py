@@ -151,9 +151,22 @@ class BiEncoderTrainer:
     def train_batch(self, images: np.ndarray, text_feats: np.ndarray
                     ) -> Tuple[float, float]:
         self.rng, sub = jax.random.split(self.rng)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: each process feeds its local shard of the global
+            # batch (Loader shard=(pid, nproc)); assemble global arrays
+            # sharded over the mesh data axis before entering jit
+            from multimodal_dataset_distillation_tpu.parallel.mesh import (
+                host_local_to_global,
+            )
+
+            images, text_feats = host_local_to_global(
+                self.mesh, (np.asarray(images), np.asarray(text_feats)))
+        else:
+            images = jnp.asarray(images)
+            text_feats = jnp.asarray(text_feats)
         (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
             self.variables, self.opt_img, self.opt_txt,
-            jnp.asarray(images), jnp.asarray(text_feats), sub)
+            images, text_feats, sub)
         return loss, acc
 
     def train_epoch_arrays(self, loader) -> Tuple[float, float]:

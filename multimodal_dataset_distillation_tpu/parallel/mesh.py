@@ -30,13 +30,72 @@ def maybe_init_distributed() -> None:
 
     Safe no-op on single-host (the common bench/test case).  This is the
     live replacement for the reference's dead ``init_distributed_mode``
-    (``utils.py:847-869``).
+    (``utils.py:847-869``, which reads RANK/WORLD_SIZE/SLURM and calls
+    ``init_process_group(backend='nccl')`` but is never invoked).  Here:
+    set ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES`` and
+    ``JAX_PROCESS_ID`` outside auto-detectable environments) and every
+    entry point becomes multi-host — the mesh then spans all processes'
+    devices, batches are fed per-host via :func:`host_local_to_global`,
+    and XLA runs collectives over ICI/DCN.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialized or unavailable
-            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES") is not None:
+        kwargs = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # already initialized or unavailable
+        print(f"[mesh] jax.distributed.initialize skipped: {e}")
+
+
+def host_local_to_global(mesh: Mesh, batch, axis: str = "data"):
+    """Assemble per-process batch shards into global ``jax.Array``s.
+
+    Each process passes only ITS slice of the global batch (dim 0,
+    process-major order — the order :class:`~..data.pipeline.Loader`
+    emits with ``shard=(process_index, process_count)``); the result is a
+    global array sharded over ``axis``, ready for a jitted step over a
+    multi-process mesh.  Single-process: plain device_put with the same
+    sharding (no-op semantics, same return type).
+    """
+    nproc = jax.process_count()
+
+    def _put(x):
+        x = np.asarray(x)
+        sharding = batch_sharding(mesh, x.ndim, axis)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def process_shard(n: int, drop_remainder: bool = True) -> Tuple[int, int]:
+    """This process's contiguous [start, stop) of a length-``n`` global
+    batch axis (process-major, matching ``jax.devices()`` order)."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if drop_remainder:
+        per = n // nproc
+        return pid * per, (pid + 1) * per
+    starts = np.linspace(0, n, nproc + 1).astype(int)
+    return int(starts[pid]), int(starts[pid + 1])
+
+
+def expert_assignment(num_experts: int) -> Sequence[int]:
+    """Which phase-1 experts THIS process trains (expert-per-host
+    fan-out).  Experts are embarrassingly independent (``buffer.py:42``),
+    so hosts round-robin them — each host trains its subset on its local
+    devices and writes buffer files under the expert's global index, with
+    zero cross-host traffic."""
+    return list(range(jax.process_index(), num_experts,
+                      max(1, jax.process_count())))
 
 
 def get_mesh(mesh_shape: Sequence[int] = (),

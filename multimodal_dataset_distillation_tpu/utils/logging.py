@@ -60,6 +60,54 @@ class RunLogger:
         self._file.write(json.dumps({"step": step, **clean}) + "\n")
         self._file.flush()
 
+    # ---- rich artifacts (reference distill.py:386-394: wandb Images /
+    # Histograms / Html sentence tables per eval) ----
+
+    def log_image(self, key: str, image, step: Optional[int] = None,
+                  caption: Optional[str] = None):
+        """``image``: HWC uint8/float array, or a path to a saved PNG.
+        wandb gets a wandb.Image; the JSONL fallback records the artifact
+        file path (arrays are summarized by shape)."""
+        step = self.step if step is None else step
+        if self._wandb is not None:
+            img = (self._wandb.Image(str(image), caption=caption)
+                   if isinstance(image, (str, os.PathLike))
+                   else self._wandb.Image(np.asarray(image), caption=caption))
+            self._wandb.log({key: img}, step=step)
+        ref = (str(image) if isinstance(image, (str, os.PathLike))
+               else f"<image {tuple(np.asarray(image).shape)}>")
+        self._file.write(json.dumps(
+            {"step": step, key: {"_type": "image", "path": ref}}) + "\n")
+        self._file.flush()
+
+    def log_histogram(self, key: str, values, step: Optional[int] = None):
+        """wandb.Histogram when available; summary stats in the JSONL."""
+        step = self.step if step is None else step
+        v = np.asarray(values, np.float64).ravel()
+        if self._wandb is not None:
+            self._wandb.log({key: self._wandb.Histogram(v)}, step=step)
+        self._file.write(json.dumps(
+            {"step": step, key: {"_type": "histogram", "n": int(v.size),
+                                 "min": float(v.min()) if v.size else 0.0,
+                                 "max": float(v.max()) if v.size else 0.0,
+                                 "mean": float(v.mean()) if v.size else 0.0,
+                                 "std": float(v.std()) if v.size else 0.0}}
+        ) + "\n")
+        self._file.flush()
+
+    def log_html(self, key: str, html: str, step: Optional[int] = None,
+                 path: Optional[str] = None):
+        """wandb.Html when available (the reference's decoded-sentence
+        tables); the JSONL records the backing file path when given."""
+        step = self.step if step is None else step
+        if self._wandb is not None:
+            self._wandb.log({key: self._wandb.Html(html)}, step=step)
+        self._file.write(json.dumps(
+            {"step": step, key: {"_type": "html",
+                                 "path": path or f"<inline {len(html)}B>"}}
+        ) + "\n")
+        self._file.flush()
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()
