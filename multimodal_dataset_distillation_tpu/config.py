@@ -157,6 +157,14 @@ class Config:
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
     # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
     # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.
+    # shard the synthetic tensors (image_syn/text_syn), their
+    # meta-gradients, and the outer optimizer state over the mesh "data"
+    # axis (query dim 0). At num_queries=500 the pixel tensor is ~300 MB
+    # and its meta-gradient scatter dominates the inner step; sharding
+    # splits both 1/N per device. Applies when a mesh is active and
+    # num_queries divides the data axis; indices stay global, so the
+    # semantics (and gradients) are identical to the unsharded path.
+    shard_syn: bool = True
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -110,6 +110,24 @@ class Distiller:
         sdt = jnp.float64 if cfg.inner_dtype == "float64" else jnp.float32
         image_syn = jnp.asarray(image_syn, sdt)
         text_syn = jnp.asarray(text_syn, sdt)
+        # --shard_syn: split the synthetic tensors (and, by donation +
+        # sharding propagation, their meta-gradients and momentum buffers)
+        # over the mesh "data" axis.  The reference keeps the whole
+        # synthetic set replicated per GPU (distill.py:300-311); at
+        # num_queries=500 that is a ~300 MB pixel tensor whose per-step
+        # meta-gradient scatter dominates the inner step.  Indices remain
+        # global, so gradients match the unsharded path exactly.
+        self._syn_shardings = None
+        if (mesh is not None and getattr(cfg, "shard_syn", False)
+                and "data" in mesh.axis_names
+                and image_syn.shape[0] % mesh.shape["data"] == 0):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._syn_shardings = (
+                NamedSharding(mesh, P("data", None, None, None)),
+                NamedSharding(mesh, P("data", None)))
+            image_syn = jax.device_put(image_syn, self._syn_shardings[0])
+            text_syn = jax.device_put(text_syn, self._syn_shardings[1])
         self.state = DistillState(
             image_syn=image_syn,
             text_syn=text_syn,
@@ -120,6 +138,19 @@ class Distiller:
             opt_lr=self.tx_lr.init((jnp.asarray(cfg.lr_teacher_img, sdt),
                                     jnp.asarray(cfg.lr_teacher_txt, sdt))),
         )
+        if self._syn_shardings is not None:
+            # momentum buffers shard with their parameters (zeros_like
+            # usually preserves sharding; make it explicit)
+            sh_img, sh_txt = self._syn_shardings
+            self.state = self.state.replace(
+                opt_img=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh_img)
+                    if getattr(x, "shape", None) == image_syn.shape else x,
+                    self.state.opt_img),
+                opt_txt=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh_txt)
+                    if getattr(x, "shape", None) == text_syn.shape else x,
+                    self.state.opt_txt))
         self._step = self._build_step()
         self.rng = jax.random.PRNGKey(cfg.seed)
 
@@ -265,8 +296,19 @@ class Distiller:
 
         self.unroll = unroll
 
+        syn_shardings = self._syn_shardings
+
         def outer_update(state, img_th0, txt_th0, img_tgt, txt_tgt,
                          idx_seq, keys):
+            if syn_shardings is not None:
+                # pin the synthetic tensors (and hence their meta-
+                # gradients and updates) to the query-sharded layout so
+                # XLA cannot silently replicate the 300 MB pixel state
+                state = state.replace(
+                    image_syn=jax.lax.with_sharding_constraint(
+                        state.image_syn, syn_shardings[0]),
+                    text_syn=jax.lax.with_sharding_constraint(
+                        state.text_syn, syn_shardings[1]))
             (loss, (img_loss, txt_loss)), grads = jax.value_and_grad(
                 grand_loss, argnums=(0, 1, 2, 3), has_aux=True)(
                     state.image_syn, state.text_syn,
@@ -289,9 +331,16 @@ class Distiller:
             upd_lr, opt_lr = tx_lr.update((g_li, g_lt), state.opt_lr,
                                           (state.syn_lr_img,
                                            state.syn_lr_txt))
+            new_img = optax.apply_updates(state.image_syn, upd_img)
+            new_txt = optax.apply_updates(state.text_syn, upd_txt)
+            if syn_shardings is not None:
+                new_img = jax.lax.with_sharding_constraint(
+                    new_img, syn_shardings[0])
+                new_txt = jax.lax.with_sharding_constraint(
+                    new_txt, syn_shardings[1])
             new_state = DistillState(
-                image_syn=optax.apply_updates(state.image_syn, upd_img),
-                text_syn=optax.apply_updates(state.text_syn, upd_txt),
+                image_syn=new_img,
+                text_syn=new_txt,
                 syn_lr_img=optax.apply_updates(state.syn_lr_img, upd_lr[0]),
                 syn_lr_txt=optax.apply_updates(state.syn_lr_txt, upd_lr[1]),
                 opt_img=opt_img, opt_txt=opt_txt, opt_lr=opt_lr)

@@ -1,0 +1,35 @@
+#!/bin/bash
+# NFNet-scale offline quality run (VERDICT r1 item 9): a short
+# distillation at the HEADLINE scale — NFNet-L0 students @ 224², nq=100,
+# syn_steps=8, mb=100 — on the offline synthetic dataset, on real TPU.
+# Shows grand-loss descent and an eval tick at the shipped model size
+# (QUALITY.md round 1 only had convnet/64² evidence).
+#
+# Runtime on v5e-1: buffer ~10 min (mostly compile), distill ~35 min
+# (compile + 100 outer steps + 2 evals). Run solo — never alongside
+# bench.py (single chip).
+set -e
+OUT=${1:-/tmp/quality_nfnet}
+mkdir -p "$OUT" && cd "$OUT"
+
+echo "=== phase 1: expert trajectories (NFNet-L0 @ 224, synthetic) ==="
+timeout 3600 python /root/repo/buffer.py \
+  --dataset=synthetic --image_encoder=nfnet --text_encoder=bert \
+  --text_encoder_config=tiny --image_size=224 --synthetic_size=512 \
+  --synthetic_test_size=64 --num_experts=1 --train_epochs=4 \
+  --batch_size_train=64 --batch_size_test=64 --buffer_path=./buffers \
+  --lr_teacher_img=0.05 --lr_teacher_txt=0.05 --train_dtype=bfloat16
+
+echo "=== phase 2: distillation (headline config, 100 outer iters) ==="
+timeout 5400 python /root/repo/distill.py \
+  --dataset=synthetic --image_encoder=nfnet --text_encoder=bert \
+  --text_encoder_config=tiny --image_size=224 --synthetic_size=512 \
+  --synthetic_test_size=64 --num_queries=100 --mini_batch_size=100 \
+  --syn_steps=8 --expert_epochs=1 --max_start_epoch=3 --Iteration=100 \
+  --eval_it=50 --num_eval=1 --epoch_eval_train=4 --batch_train=50 \
+  --batch_size_test=64 --buffer_path=./buffers/synthetic/nfnet/bert \
+  --save_dir=./logged_files --lr_img=1000 --lr_txt=1000 --lr_lr=0.01 \
+  --lr_teacher_img=0.1 --lr_teacher_txt=0.1 --inner_dtype=bfloat16 \
+  --scan_unroll=8 --std True
+
+echo "=== done; artifacts in $OUT ==="
