@@ -70,6 +70,8 @@ def main():
     if os.environ.get("BENCH_PREVENT_CSE"):
         cfg = cfg.replace(
             remat_prevent_cse=os.environ["BENCH_PREVENT_CSE"] == "1")
+    if os.environ.get("BENCH_HVP_MODE"):
+        cfg = cfg.replace(hvp_mode=os.environ["BENCH_HVP_MODE"])
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
 

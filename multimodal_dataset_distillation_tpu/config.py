@@ -154,6 +154,14 @@ class Config:
     remat_prevent_cse: bool = True
     # lax.scan unroll factor for the inner-step scan (XLA scheduling knob)
     scan_unroll: int = 1
+    # meta-backward strategy through each inner SGD step:
+    #   "reverse": JAX default — remat the fwd+bwd, VJP through both
+    #              (reverse-over-reverse, ~9 fwd-equivalents/step)
+    #   "forward": custom VJP — one grad-of-jvp supplies the Hessian and
+    #              mixed terms (reverse-over-forward, ~4-5 fwd-equiv/step,
+    #              no remat; residuals are (th, g, x, y) per step).
+    # Identical math; pinned by float64 FD tests + torch parity harness.
+    hvp_mode: str = "reverse"
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
     # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
     # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.

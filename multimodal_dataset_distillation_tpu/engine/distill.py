@@ -188,6 +188,77 @@ class Distiller:
 
         mesh = self.mesh
 
+        def closs(thi, tht, x, y, lr_i, ki, kt):
+            f = self._img_forward(thi, x, ki, inner_dtype).astype(out_dtype)
+            g = self._txt_forward(tht, y, kt, inner_dtype).astype(out_dtype)
+            f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+            g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+            scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
+                     else lr_i)
+            logits = scale * jnp.dot(f, g.T,
+                                     preferred_element_type=out_dtype,
+                                     precision=jax.lax.Precision.HIGHEST)
+            return _sym_ce(logits)
+
+        # -- hvp_mode="forward": custom-VJP inner update ------------------
+        # The meta-backward through  new_th = th - lr * grad(closs)  needs
+        # (a) the Hessian action  (d grad/d th)^T ybar  and (b) the mixed
+        # term  (d grad/d {x,y,lr})^T ybar.  JAX's default is reverse-over-
+        # reverse: remat the fwd+bwd, then VJP through both (~9 forward-
+        # equivalents per inner step in the backward).  Both terms are
+        # instead gradients of ONE scalar — the directional derivative
+        #   h = d/de closs(th + e*v, ...)  at  v = lr*ybar
+        # (symmetry of second derivatives) — so reverse-over-FORWARD gets
+        # everything in one grad-of-jvp (~4-5 forward-equivalents), and
+        # the saved inner gradient supplies <g, ybar> for the lr
+        # cotangent.  No remat needed: residuals are just (th, g, x, y)
+        # per step.  Exact same math — pinned by the float64 finite-
+        # difference tests and the torch step-parity harness.
+        import numpy as _np
+
+        def _float0_zeros(k):
+            return _np.zeros(_np.shape(k), dtype=jax.dtypes.float0)
+
+        @jax.custom_vjp
+        def fr_core(lr_i, lr_t, x, y, thi, tht, ki, kt):
+            gi, gt = jax.grad(closs, argnums=(0, 1))(
+                thi, tht, x, y, lr_i, ki, kt)
+            return thi - lr_i * gi, tht - lr_t * gt
+
+        def fr_core_fwd(lr_i, lr_t, x, y, thi, tht, ki, kt):
+            gi, gt = jax.grad(closs, argnums=(0, 1))(
+                thi, tht, x, y, lr_i, ki, kt)
+            out = (thi - lr_i * gi, tht - lr_t * gt)
+            return out, (lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt)
+
+        def fr_core_bwd(res, cot):
+            lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt = res
+            ybi, ybt = cot
+            vi = lr_i * ybi
+            vt = lr_t * ybt
+
+            def h_fn(thi_, tht_, x_, y_, lr_i_):
+                # tangents only on (thi, tht): x/y/lr ride in by closure,
+                # so no zero-tangent JVP is propagated through the towers
+                _, dh = jax.jvp(
+                    lambda a, b: closs(a, b, x_, y_, lr_i_, ki, kt),
+                    (thi_, tht_), (vi, vt))
+                return dh
+
+            hg = jax.grad(h_fn, argnums=(0, 1, 2, 3, 4))(
+                thi, tht, x, y, lr_i)
+            dthi = ybi - hg[0]
+            dtht = ybt - hg[1]
+            dx = -hg[2]
+            dy = -hg[3]
+            dlr_i = -jnp.vdot(gi, ybi) - hg[4]
+            dlr_t = -jnp.vdot(gt, ybt)
+            return (dlr_i, dlr_t, dx, dy, dthi, dtht,
+                    _float0_zeros(ki), _float0_zeros(kt))
+
+        fr_core.defvjp(fr_core_fwd, fr_core_bwd)
+        use_fr = getattr(cfg, "hvp_mode", "reverse") == "forward"
+
         def inner_step(lr_i, lr_t, image_syn, text_syn, carry, inp):
             thi, tht = carry
             idx, key = inp
@@ -205,19 +276,11 @@ class Distiller:
                     y, NamedSharding(mesh, P("data", None)))
             ki, kt = jax.random.split(key)
 
-            def closs(a, b):
-                f = self._img_forward(a, x, ki, inner_dtype).astype(out_dtype)
-                g = self._txt_forward(b, y, kt, inner_dtype).astype(out_dtype)
-                f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-                g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
-                scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
-                         else lr_i)
-                logits = scale * jnp.dot(f, g.T,
-                                         preferred_element_type=out_dtype,
-                                         precision=jax.lax.Precision.HIGHEST)
-                return _sym_ce(logits)
-
-            gi, gt = jax.grad(closs, argnums=(0, 1))(thi, tht)
+            if use_fr:
+                new_i, new_t = fr_core(lr_i, lr_t, x, y, thi, tht, ki, kt)
+                return (new_i, new_t), None
+            gi, gt = jax.grad(closs, argnums=(0, 1))(
+                thi, tht, x, y, lr_i, ki, kt)
             new_i = thi - lr_i * gi
             new_t = tht - lr_t * gt
             return (new_i, new_t), None
@@ -239,11 +302,15 @@ class Distiller:
             prevent_cse=bool(getattr(cfg, "remat_prevent_cse", True)),
             policy=_policies[getattr(cfg, "remat_policy", "none")])
 
+        # hvp_mode="forward" replaces remat: the custom VJP saves small
+        # residuals (th, g, x, y) per step and never replays the fwd+bwd
+        remat_on = cfg.remat_inner and not use_fr
+
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
             g = max(1, int(getattr(cfg, "remat_group", 1)))
-            if cfg.remat_inner and g > 1 and idx_seq.shape[0] % g == 0:
+            if remat_on and g > 1 and idx_seq.shape[0] % g == 0:
                 # grouped remat: checkpoint every g inner steps — live
                 # activations for g steps, recompute 1 extra fwd per g
                 # steps instead of per step (memory <-> recompute dial)
@@ -259,7 +326,7 @@ class Distiller:
                     (idx_seq.reshape(n, g, -1),
                      keys.reshape(n, g, *keys.shape[1:])))
             else:
-                if cfg.remat_inner:
+                if remat_on:
                     f = ckpt(f)
                 (thiF, thtF), _ = jax.lax.scan(
                     f, (img_th0, txt_th0), (idx_seq, keys),

@@ -254,3 +254,82 @@ def test_single_modality_distillation(mode):
                                    cfg.lr_teacher_img, rtol=1e-6)
 
 
+
+
+def _tiny_setup_hvp(hvp_mode, inner_scale, dtype=np.float64):
+    cfg = Config(
+        image_encoder="convnet_tiny", image_size=16,
+        num_queries=8, syn_steps=3, mini_batch_size=4,
+        lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
+        lr_teacher_img=0.05, lr_teacher_txt=0.05,
+        inner_scale=inner_scale, inner_dtype="float64",
+        hvp_mode=hvp_mode, seed=0)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    variables = init_bi_encoder(model, cfg)
+    variables = jax.tree_util.tree_map(lambda x: x.astype(dtype), variables)
+    rng = np.random.RandomState(0)
+    image_syn = rng.randn(8, 16, 16, 3).astype(dtype)
+    text_syn = rng.randn(8, 768).astype(dtype)
+    d = Distiller(cfg, model, variables, image_syn, text_syn)
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    i0 = np.asarray(img_flat)
+    t0 = np.asarray(txt_flat)
+    it = (i0 + 0.01 * rng.randn(*i0.shape)).astype(dtype)
+    tt = (t0 + 0.01 * rng.randn(*t0.shape)).astype(dtype)
+    return cfg, d, i0, t0, it, tt
+
+
+@pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
+def test_hvp_forward_matches_reverse(inner_scale):
+    """hvp_mode="forward" (custom VJP, reverse-over-forward Hessian) must
+    produce THE SAME meta-gradients as the JAX-default reverse-over-
+    reverse path — same math, different evaluation order.  float64 so
+    agreement to ~1e-10 is expected, dropout active (rng keys saved as
+    custom-VJP residuals must replay identically)."""
+    with jax.enable_x64():
+        grads = {}
+        for mode in ("reverse", "forward"):
+            cfg, d, i0, t0, it, tt = _tiny_setup_hvp(mode, inner_scale)
+            idx = jnp.asarray(d.sample_indices(np.random.RandomState(1)))
+            keys = jax.random.split(jax.random.PRNGKey(7), cfg.syn_steps)
+            loss_f = lambda *a: d.grand_loss(*a)[0]
+            g = jax.grad(loss_f, argnums=(0, 1, 2, 3))(
+                d.state.image_syn, d.state.text_syn,
+                d.state.syn_lr_img, d.state.syn_lr_txt,
+                jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+                jnp.asarray(tt), idx, keys)
+            grads[mode] = [np.asarray(x) for x in g]
+        for a, b, name in zip(grads["reverse"], grads["forward"],
+                              ("pixels", "texts", "lr_img", "lr_txt")):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-9, atol=1e-12,
+                err_msg=f"{name} grad mismatch (inner_scale={inner_scale})")
+
+
+@pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
+def test_hvp_forward_finite_difference(inner_scale):
+    """Independent ground truth for the custom VJP: float64 FD on the
+    learnable inner LRs through the forward-HVP unroll."""
+    with jax.enable_x64():
+        cfg, d, i0, t0, it, tt = _tiny_setup_hvp("forward", inner_scale)
+        idx = jnp.asarray(d.sample_indices(np.random.RandomState(1)))
+        keys = jax.random.split(jax.random.PRNGKey(7), cfg.syn_steps)
+        args = (d.state.image_syn, d.state.text_syn,
+                d.state.syn_lr_img, d.state.syn_lr_txt,
+                jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+                jnp.asarray(tt), idx, keys)
+        loss_f = lambda *a: d.grand_loss(*a)[0]
+        grads = jax.grad(loss_f, argnums=(2, 3))(*args)
+        eps = 1e-6
+        for j, (k, name) in enumerate(((2, "lr_img"), (3, "lr_txt"))):
+            a = list(args[:4])
+            a[k] = args[k] + eps
+            up = float(loss_f(*a, *args[4:]))
+            a[k] = args[k] - eps
+            down = float(loss_f(*a, *args[4:]))
+            fd = (up - down) / (2 * eps)
+            an = float(grads[j])
+            assert np.isfinite(fd) and np.isfinite(an)
+            assert abs(fd - an) < 1e-4 * max(1.0, abs(fd)), (name, fd, an)
