@@ -95,16 +95,24 @@ def main():
     traj_txt = d.put_trajectory(np.stack(
         [txt_th0, txt_th0 + 0.01 * rng.randn(*txt_th0.shape).astype(np.float32)]))
 
-    def one_step():
+    # Timing mirrors the production loop in cli/distill.py: step N+1 is
+    # dispatched BEFORE step N's metrics are pulled to host (pipelined
+    # NaN-check/logging), so the device never idles on the host round-trip
+    # — which over a remote-chip tunnel can otherwise rival the step time.
+    def dispatch():
         idx = d.sample_indices(rng)
-        m = d.step_traj(traj_img, traj_txt, 0, idx)
-        return float(m["grand_loss"])  # sync
+        return d.step_traj(traj_img, traj_txt, 0, idx)
 
     for _ in range(warmup):
-        loss = one_step()
+        float(dispatch()["grand_loss"])  # sync during warmup/compile
     t0 = time.perf_counter()
+    pending = None
     for _ in range(iters):
-        loss = one_step()
+        m = dispatch()
+        if pending is not None:
+            float(pending["grand_loss"])  # previous step: NaN check + log
+        pending = m
+    float(pending["grand_loss"])  # drain
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt

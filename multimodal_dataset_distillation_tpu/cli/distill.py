@@ -179,9 +179,43 @@ def main(cfg: Config):
         print(f"Resumed from {cfg.resume_from} at iteration {start_it}")
     ckpt_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)
 
+    # Pipelined host loop: the host reads of step N's metrics (loss
+    # print, NaN check, logging — each a device->host round-trip, which
+    # over a remote-chip tunnel can rival the step time itself) happen
+    # AFTER step N+1 has been dispatched, so the device never idles
+    # waiting on the host.  NaN detection is therefore one step delayed
+    # — same stopping semantics as the reference's per-iteration bailout
+    # (distill.py:599), one extra (discarded) step of compute.
+    pending = None  # (it, metrics) of the last dispatched step
+
+    def drain(pending):
+        """Sync + log the previous step's metrics; False on NaN."""
+        if pending is None:
+            return True
+        pit, metrics = pending
+        grand = float(metrics["grand_loss"])
+        if math.isnan(float(metrics["img_param_loss"])):
+            print("NaN param loss — stopping (distill.py:599)")
+            return False
+        logger.log({"Synthetic_LR_Image": float(metrics["syn_lr_img"]),
+                    "Synthetic_LR_Text": float(metrics["syn_lr_txt"])},
+                   step=pit)
+        logger.log({"Grand_Loss": grand,
+                    "Start_Epoch": metrics["_start_epoch"],
+                    "img_param_loss": float(metrics["img_param_loss"]),
+                    "txt_param_loss": float(metrics["txt_param_loss"])},
+                   step=pit)
+        if pit % 10 == 0:
+            print(f"{get_time()} iter = {pit:04d}, loss = {grand:.4f}")
+        return True
+
     for it in range(start_it, cfg.Iteration + 1):
         # ---- evaluation block (distill_original.py:201-283) ----
         if it in eval_it_pool and cfg.num_eval > 0:
+            if not drain(pending):
+                pending = None
+                break
+            pending = None
             results = []
             for it_eval in range(cfg.num_eval):
                 eval_cfg = cfg.replace(
@@ -233,10 +267,6 @@ def main(cfg: Config):
                     logger.log_html("Synthetic_Sentences", html, step=it,
                                     path=arts["sentences"])
 
-        logger.log({"Synthetic_LR_Image": float(distiller.state.syn_lr_img),
-                    "Synthetic_LR_Text": float(distiller.state.syn_lr_txt)},
-                   step=it)
-
         # ---- one outer step (HBM-resident expert trajectories) ----
         if cfg.profile_dir and it == 2:  # trace one post-compile step
             from multimodal_dataset_distillation_tpu.utils.logging import (
@@ -254,23 +284,25 @@ def main(cfg: Config):
             idx_seq = distiller.sample_indices(rng)
             metrics = distiller.step_traj(traj_img, traj_txt, start_epoch,
                                           idx_seq)
+        metrics["_start_epoch"] = start_epoch
 
-        grand = float(metrics["grand_loss"])
-        if math.isnan(float(metrics["img_param_loss"])):
-            print("NaN param loss — stopping (distill.py:599)")
+        # sync + log the PREVIOUS step while this one runs on device
+        if not drain(pending):
+            pending = None
             break
-        logger.log({"Grand_Loss": grand, "Start_Epoch": start_epoch,
-                    "img_param_loss": float(metrics["img_param_loss"]),
-                    "txt_param_loss": float(metrics["txt_param_loss"])},
-                   step=it)
-        if it % 10 == 0:
-            print(f"{get_time()} iter = {it:04d}, loss = {grand:.4f}")
+        pending = (it, metrics)
+
         if cfg.ckpt_it and it % cfg.ckpt_it == 0 and it > start_it:
+            if not drain(pending):
+                pending = None
+                break
+            pending = None
             p = save_distill_checkpoint(
                 os.path.join(ckpt_dir, f"distill_ckpt_{it}.msgpack"),
                 distiller, it, cycler=cycler, host_rng=rng)
             print(f"Checkpointed outer loop -> {p}")
 
+    drain(pending)
     logger.finish()
     return distiller, history
 

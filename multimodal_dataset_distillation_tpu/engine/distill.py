@@ -413,7 +413,14 @@ class Distiller:
                 opt_img=opt_img, opt_txt=opt_txt, opt_lr=opt_lr)
             metrics = {"grand_loss": loss, "img_param_loss": img_loss,
                        "txt_param_loss": txt_loss,
-                       "syn_lr_img_grad": g_li, "syn_lr_txt_grad": g_lt}
+                       "syn_lr_img_grad": g_li, "syn_lr_txt_grad": g_lt,
+                       # post-step LR values, exposed here so the driver
+                       # loop can read everything host-side from the
+                       # (non-donated) metrics of the PREVIOUS step and
+                       # keep the device pipeline full (the state itself
+                       # is donated and must not be read mid-flight)
+                       "syn_lr_img": new_state.syn_lr_img,
+                       "syn_lr_txt": new_state.syn_lr_txt}
             return new_state, metrics
 
         @functools.partial(jax.jit, donate_argnums=(0,))
