@@ -53,6 +53,15 @@ def test_step_updates_state_and_is_finite():
     assert float(m["img_param_loss"]) > 0
     assert not np.allclose(np.asarray(d.state.image_syn), before_img)
     assert float(d.state.syn_lr_img) != before_lr
+    # metrics contract: the pipelined CLI loop reads everything host-side
+    # from the previous step's metrics (cli/distill.py drain()) — these
+    # keys must exist so the donated state is never touched mid-flight
+    for k in ("grand_loss", "img_param_loss", "txt_param_loss",
+              "syn_lr_img", "syn_lr_txt", "syn_lr_img_grad",
+              "syn_lr_txt_grad"):
+        assert k in m, f"metrics missing {k}"
+    # post-step LR in metrics == the state's LR
+    assert float(m["syn_lr_img"]) == float(d.state.syn_lr_img)
 
 
 @pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
