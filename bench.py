@@ -31,6 +31,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
+
     from multimodal_dataset_distillation_tpu.config import Config
     from multimodal_dataset_distillation_tpu.engine.distill import Distiller
     from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder

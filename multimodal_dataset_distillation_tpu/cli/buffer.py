@@ -63,6 +63,11 @@ def make_caption_lookup(train_dataset, cfg: Config, cache_dir: str = "."):
 
 
 def main(cfg: Config) -> List[int]:
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
     logger = RunLogger(name=cfg.name, config=vars(cfg) if hasattr(cfg, "__dict__") else None,
                        disable_wandb=cfg.disable_wandb, log_dir=cfg.save_dir)
     print("Hyper-parameters: \n", cfg)

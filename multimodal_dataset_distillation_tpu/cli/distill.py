@@ -67,6 +67,11 @@ def _bootstrap_dummy_buffers(cfg: Config, expert_dir: str) -> None:
 
 
 def main(cfg: Config):
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
     # reference flag-combination guards (distill_original.py:104-108)
     if cfg.zca and cfg.texture:
         raise AssertionError("Cannot use zca and texture together")

@@ -37,8 +37,12 @@ def main():
     from multimodal_dataset_distillation_tpu.engine.distill import Distiller
     from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
     from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
     from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
 
+    setup_compilation_cache()
     iters = int(os.environ.get("D_ITERS", "6"))
     if os.environ.get("D_TINY") == "1":  # CPU smoke-test config
         cfg = Config(image_encoder="convnet_tiny", image_size=32,
