@@ -9,12 +9,26 @@ optimizer updates.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
-``A100_REF_STEPS_PER_SEC`` is our measured-order estimate of the PyTorch
-reference on A100 for this config (create_graph double-backward through
-8 NFNet-L0 steps at batch 100; the reference needed OOM guards at this
-size, distill.py:522-575).  vs_baseline = ours / estimate; the BASELINE
-target is >= 3x.
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6),
+so ``A100_REF_STEPS_PER_SEC`` is DERIVED (tools/baseline_derivation.py,
+tools/roofline.py; VERDICT r1 item 1):
+
+  1. compute floor — one outer step of this workload is 77.4 TFLOP
+     (exact, from XLA ``compiled.cost_analysis()`` on the identical
+     update rule; our step is proven step-for-step equal to the
+     reference inner loop by tests/test_reference_parity.py).  The
+     reference runs f32/TF32 eager create_graph double-backward
+     (distill.py:562-567): A100 TF32 peak 156 TFLOPS x a generous 25%
+     MFU = 39 TFLOPS sustained -> 77.4e12/39e12 = 1.98 s.
+  2. host floor — the reference's inner loop calls ``gc.collect()`` +
+     ``empty_cache`` twice per inner step with the whole unrolled
+     autograd graph alive (distill.py:522-575).  Measured on this host
+     with a comparable live graph (tools/baseline_derivation.py):
+     0.86 s per outer step.  This cost is GPU-independent.
+
+  baseline = 1 / (1.98 + 0.86) = 0.352 steps/s  ~= 0.35.
+
+vs_baseline = ours / 0.35; the BASELINE target is >= 3x (1.05 steps/s).
 """
 
 import json
