@@ -172,28 +172,31 @@ class BiEncoderTrainer:
     def train_epoch_arrays(self, loader) -> Tuple[float, float]:
         """One epoch over an ArrayPairLoader (synthetic-set training);
         mirrors ``epoch`` (epoch_original.py:20-62) with distill=True."""
-        loss_avg = acc_avg = num = 0.0
+        per = []
         for images, texts in loader:
             loss, acc = self.train_batch(images, texts)
-            n = len(images)
-            loss_avg += float(loss) * n
-            acc_avg += float(acc)
-            num += n
+            per.append((loss, acc, len(images)))
+        loss_avg = sum(float(l) * n for l, _, n in per)
+        acc_avg = sum(float(a) for _, a, _ in per)
+        num = sum(n for _, _, n in per)
         return loss_avg / max(num, 1), acc_avg / max(num, 1)
 
     def train_epoch_captions(self, loader, caption_to_embed: Callable
                              ) -> Tuple[float, float]:
         """One epoch over a caption dataset loader (expert phase);
         mirrors ``epoch`` (epoch_original.py:20-62) with distill=False."""
-        loss_avg = acc_avg = num = 0.0
+        # defer device->host scalar reads to epoch end: a float() per
+        # batch would stall dispatch for a full host round-trip each
+        # step (pipelined-loop rule, same as cli/distill.py drain())
+        per = []
         for batch in loader:
             images, captions = batch[0], batch[1]
             text_feats = caption_to_embed(captions)
             loss, acc = self.train_batch(images, text_feats)
-            n = len(images)
-            loss_avg += float(loss) * n
-            acc_avg += float(acc)
-            num += n
+            per.append((loss, acc, len(images)))
+        loss_avg = sum(float(l) * n for l, _, n in per)
+        acc_avg = sum(float(a) for _, a, _ in per)
+        num = sum(n for _, _, n in per)
         return loss_avg / max(num, 1), acc_avg / max(num, 1)
 
     # ---- parameter snapshots (buffer.py:67-68,94-95) ----
@@ -311,22 +314,25 @@ class ParallelExpertTrainer:
         (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
             self.variables, self.opt_img, self.opt_txt,
             jnp.asarray(images), jnp.asarray(text_feats), rngs)
-        return np.asarray(loss), np.asarray(acc)
+        return loss, acc
 
     def train_epoch_captions(self, loaders, caption_to_embed: Callable
                              ) -> Tuple[np.ndarray, np.ndarray]:
         """One epoch: ``loaders`` is a list of K loaders (one batch stream
-        per expert, preserving the reference's per-expert shuffling)."""
-        loss_sum = np.zeros(self.k)
-        acc_sum = np.zeros(self.k)
-        num = np.zeros(self.k)
+        per expert, preserving the reference's per-expert shuffling).
+        Device->host reads deferred to epoch end (dispatch pipelining)."""
+        per = []
         for batches in zip(*loaders):
             images = np.stack([b[0] for b in batches])
             texts = np.stack([caption_to_embed(b[1]) for b in batches])
             loss, acc = self.train_batch(images, texts)
-            n = images.shape[1]
-            loss_sum += loss * n
-            acc_sum += acc
+            per.append((loss, acc, images.shape[1]))
+        loss_sum = np.zeros(self.k)
+        acc_sum = np.zeros(self.k)
+        num = np.zeros(self.k)
+        for loss, acc, n in per:
+            loss_sum += np.asarray(loss) * n
+            acc_sum += np.asarray(acc)
             num += n
         return loss_sum / np.maximum(num, 1), acc_sum / np.maximum(num, 1)
 
@@ -414,13 +420,13 @@ class TrainableTextTrainer:
             self.variables, self.opt_img, self.opt_txt,
             jnp.asarray(images), jnp.asarray(input_ids),
             jnp.asarray(attention_mask), sub)
-        return float(loss), float(acc)
+        return loss, acc
 
     def train_epoch_captions(self, loader, tokenize, pad_to: int = 64
                              ) -> Tuple[float, float]:
         """``tokenize(captions) -> (ids, mask)``; padded/truncated to a
         static ``pad_to`` so XLA never recompiles."""
-        loss_avg = acc_avg = num = 0.0
+        per = []
         for batch in loader:
             images, captions = batch[0], batch[1]
             ids, mask = tokenize(list(captions))
@@ -430,10 +436,10 @@ class TrainableTextTrainer:
             out_i[:, :n] = ids[:, :n]
             out_m[:, :n] = mask[:, :n]
             loss, acc = self.train_batch(images, out_i, out_m)
-            b = len(images)
-            loss_avg += loss * b
-            acc_avg += acc
-            num += b
+            per.append((loss, acc, len(images)))
+        loss_avg = sum(float(l) * n for l, _, n in per)
+        acc_avg = sum(float(a) for _, a, _ in per)
+        num = sum(n for _, _, n in per)
         return loss_avg / max(num, 1), acc_avg / max(num, 1)
 
     def snapshot_image_params(self):

@@ -30,6 +30,6 @@ timeout 5400 python /root/repo/distill.py \
   --batch_size_test=64 --buffer_path=./buffers/synthetic/nfnet/bert \
   --save_dir=./logged_files --lr_img=1000 --lr_txt=1000 --lr_lr=0.01 \
   --lr_teacher_img=0.1 --lr_teacher_txt=0.1 --inner_dtype=bfloat16 \
-  --scan_unroll=8 --std True
+  --scan_unroll=8 --hvp_mode=forward --std True
 
 echo "=== done; artifacts in $OUT ==="
