@@ -154,14 +154,32 @@ class Distiller:
         self._step = self._build_step()
         self.rng = jax.random.PRNGKey(cfg.seed)
 
-    # -- functional towers over flat params ---------------------------------
+    # -- functional towers over param trees ---------------------------------
+    #
+    # The unroll carries parameter TREES, not flat vectors: the flat
+    # buffer-format vectors are unraveled ONCE per outer step (in
+    # grand_loss), not per use.  Profiling the flat-carry version showed
+    # ~38k device ops per outer step — a storm of per-leaf dynamic-slice
+    # DMAs (25k copy-done/step) plus concatenates for the ravel
+    # transpose — all of which vanish when the scan carry is the tree.
+    # Flat enters/leaves only at the buffer-I/O boundary (SURVEY §2.2
+    # row 28 format) and in the trajectory-matching loss, which is
+    # computed leaf-wise against the unraveled targets (same sum, exact).
 
     def _img_forward(self, flat_theta, x, rng, dtype=jnp.float32):
-        params = self._unravel_img(flat_theta)
+        """Flat-vector convenience wrapper (diagnostics/tests)."""
+        return self._img_forward_tree(self._unravel_img(flat_theta), x, rng,
+                                      dtype)
+
+    def _txt_forward(self, flat_theta, y, rng, dtype=jnp.float32):
+        return self._txt_forward_tree(self._unravel_txt(flat_theta), y, rng,
+                                      dtype)
+
+    def _img_forward_tree(self, params, x, rng, dtype=jnp.float32):
         if dtype != jnp.float32:
             # bf16 compute mode: params cast inside the graph, so the
-            # gradient w.r.t. the f32 flat carry flows through the cast
-            # and accumulates in f32 (mixed precision a la the fork's AMP
+            # gradient w.r.t. the f32 carry flows through the cast and
+            # accumulates in f32 (mixed precision a la the fork's AMP
             # epoch, epoch.py:79 — but on the distillation hot path).
             params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         vs = {"params": {"image_encoder": params}, **self._extra_state}
@@ -169,8 +187,7 @@ class Distiller:
         return self.model.apply(vs, x, train=True, rngs={"dropout": rng},
                                 method=VLBiEncoder.encode_image)
 
-    def _txt_forward(self, flat_theta, y, rng, dtype=jnp.float32):
-        params = self._unravel_txt(flat_theta)
+    def _txt_forward_tree(self, params, y, rng, dtype=jnp.float32):
         if dtype != jnp.float32:
             params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         vs = {"params": {"text_projection": params}}
@@ -188,9 +205,19 @@ class Distiller:
 
         mesh = self.mesh
 
+        def _tmap(f, *ts):
+            return jax.tree_util.tree_map(f, *ts)
+
+        def _tvdot(a, b):
+            """Sum of per-leaf vdots (== vdot of the ravels)."""
+            return sum(jnp.vdot(x, y) for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
         def closs(thi, tht, x, y, lr_i, ki, kt):
-            f = self._img_forward(thi, x, ki, inner_dtype).astype(out_dtype)
-            g = self._txt_forward(tht, y, kt, inner_dtype).astype(out_dtype)
+            f = self._img_forward_tree(thi, x, ki,
+                                       inner_dtype).astype(out_dtype)
+            g = self._txt_forward_tree(tht, y, kt,
+                                       inner_dtype).astype(out_dtype)
             f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
             g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
             scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
@@ -223,19 +250,21 @@ class Distiller:
         def fr_core(lr_i, lr_t, x, y, thi, tht, ki, kt):
             gi, gt = jax.grad(closs, argnums=(0, 1))(
                 thi, tht, x, y, lr_i, ki, kt)
-            return thi - lr_i * gi, tht - lr_t * gt
+            return (_tmap(lambda p, g: p - lr_i * g, thi, gi),
+                    _tmap(lambda p, g: p - lr_t * g, tht, gt))
 
         def fr_core_fwd(lr_i, lr_t, x, y, thi, tht, ki, kt):
             gi, gt = jax.grad(closs, argnums=(0, 1))(
                 thi, tht, x, y, lr_i, ki, kt)
-            out = (thi - lr_i * gi, tht - lr_t * gt)
+            out = (_tmap(lambda p, g: p - lr_i * g, thi, gi),
+                   _tmap(lambda p, g: p - lr_t * g, tht, gt))
             return out, (lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt)
 
         def fr_core_bwd(res, cot):
             lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt = res
             ybi, ybt = cot
-            vi = lr_i * ybi
-            vt = lr_t * ybt
+            vi = _tmap(lambda b: lr_i * b, ybi)
+            vt = _tmap(lambda b: lr_t * b, ybt)
 
             def h_fn(thi_, tht_, x_, y_, lr_i_):
                 # tangents only on (thi, tht): x/y/lr ride in by closure,
@@ -247,12 +276,12 @@ class Distiller:
 
             hg = jax.grad(h_fn, argnums=(0, 1, 2, 3, 4))(
                 thi, tht, x, y, lr_i)
-            dthi = ybi - hg[0]
-            dtht = ybt - hg[1]
+            dthi = _tmap(lambda b, h: b - h, ybi, hg[0])
+            dtht = _tmap(lambda b, h: b - h, ybt, hg[1])
             dx = -hg[2]
             dy = -hg[3]
-            dlr_i = -jnp.vdot(gi, ybi) - hg[4]
-            dlr_t = -jnp.vdot(gt, ybt)
+            dlr_i = -_tvdot(gi, ybi) - hg[4]
+            dlr_t = -_tvdot(gt, ybt)
             return (dlr_i, dlr_t, dx, dy, dthi, dtht,
                     _float0_zeros(ki), _float0_zeros(kt))
 
@@ -281,8 +310,8 @@ class Distiller:
                 return (new_i, new_t), None
             gi, gt = jax.grad(closs, argnums=(0, 1))(
                 thi, tht, x, y, lr_i, ki, kt)
-            new_i = thi - lr_i * gi
-            new_t = tht - lr_t * gt
+            new_i = _tmap(lambda p, g: p - lr_i * g, thi, gi)
+            new_t = _tmap(lambda p, g: p - lr_t * g, tht, gt)
             return (new_i, new_t), None
 
         # remat configuration. prevent_cse=False is safe (and recommended)
@@ -306,8 +335,17 @@ class Distiller:
         # residuals (th, g, x, y) per step and never replays the fwd+bwd
         remat_on = cfg.remat_inner and not use_fr
 
+        def _tree_mse(a_tree, b_tree, dt):
+            """sum((ravel(a) - ravel(b))**2), computed leaf-wise."""
+            return sum(jnp.sum((x.astype(dt) - y.astype(dt)) ** 2)
+                       for x, y in zip(jax.tree_util.tree_leaves(a_tree),
+                                       jax.tree_util.tree_leaves(b_tree)))
+
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
+            # flat buffer-format vectors -> trees ONCE per outer step
+            ti0 = self._unravel_img(img_th0)
+            tt0 = self._unravel_txt(txt_th0)
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
             g = max(1, int(getattr(cfg, "remat_group", 1)))
             if remat_on and g > 1 and idx_seq.shape[0] % g == 0:
@@ -322,23 +360,23 @@ class Distiller:
                     return out, None
 
                 (thiF, thtF), _ = jax.lax.scan(
-                    ckpt(group), (img_th0, txt_th0),
+                    ckpt(group), (ti0, tt0),
                     (idx_seq.reshape(n, g, -1),
                      keys.reshape(n, g, *keys.shape[1:])))
             else:
                 if remat_on:
                     f = ckpt(f)
                 (thiF, thtF), _ = jax.lax.scan(
-                    f, (img_th0, txt_th0), (idx_seq, keys),
+                    f, (ti0, tt0), (idx_seq, keys),
                     unroll=max(1, int(getattr(cfg, "scan_unroll", 1))))
-            thiF = thiF.astype(img_tgt.dtype)
-            thtF = thtF.astype(txt_tgt.dtype)
-            th0i = img_th0.astype(img_tgt.dtype)
-            th0t = txt_th0.astype(txt_tgt.dtype)
-            img_loss = (jnp.sum((thiF - img_tgt) ** 2)
-                        / jnp.sum((th0i - img_tgt) ** 2))
-            txt_loss = (jnp.sum((thtF - txt_tgt) ** 2)
-                        / jnp.sum((th0t - txt_tgt) ** 2))
+            tgt_i = self._unravel_img(img_tgt)
+            tgt_t = self._unravel_txt(txt_tgt)
+            dt_i = img_tgt.dtype
+            dt_t = txt_tgt.dtype
+            img_loss = (_tree_mse(thiF, tgt_i, dt_i)
+                        / _tree_mse(ti0, tgt_i, dt_i))
+            txt_loss = (_tree_mse(thtF, tgt_t, dt_t)
+                        / _tree_mse(tt0, tgt_t, dt_t))
             return img_loss + txt_loss, (img_loss, txt_loss)
 
         tx_img, tx_txt, tx_lr = self.tx_img, self.tx_txt, self.tx_lr
@@ -348,17 +386,21 @@ class Distiller:
         def unroll(image_syn, text_syn, lr_i, lr_t, img_th0, txt_th0,
                    idx_seq, keys):
             """Diagnostic: the same inner unroll, returning EVERY per-step
-            student parameter vector (syn_steps, P) — used by the
+            student parameter vector (syn_steps, P) flat — used by the
             reference-parity harness to compare step-for-step against the
             torch ReparamModule loop (distill_original.py:413-437)."""
+            from jax.flatten_util import ravel_pytree
+
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
 
             def collect(carry, inp):
                 out, _ = f(carry, inp)
-                return out, out
+                return out, (ravel_pytree(out[0])[0], ravel_pytree(out[1])[0])
 
-            _, (his, hts) = jax.lax.scan(collect, (img_th0, txt_th0),
-                                         (idx_seq, keys))
+            _, (his, hts) = jax.lax.scan(
+                collect,
+                (self._unravel_img(img_th0), self._unravel_txt(txt_th0)),
+                (idx_seq, keys))
             return his, hts
 
         self.unroll = unroll

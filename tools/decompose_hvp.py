@@ -72,8 +72,9 @@ def main():
     )
 
     def closs(thi, tht, x, y, lr_i, ki, kt):
-        f = d._img_forward(thi, x, ki, inner_dtype).astype(jnp.float32)
-        g = d._txt_forward(tht, y, kt, inner_dtype).astype(jnp.float32)
+        # thi/tht are param TREES (the production scan carry)
+        f = d._img_forward_tree(thi, x, ki, inner_dtype).astype(jnp.float32)
+        g = d._txt_forward_tree(tht, y, kt, inner_dtype).astype(jnp.float32)
         f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
         g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
         logits = RAW_LOG_SCALE * jnp.dot(
@@ -83,11 +84,12 @@ def main():
 
     img_flat, _ = flatten_params(variables["params"]["image_encoder"])
     txt_flat, _ = flatten_params(variables["params"]["text_projection"])
-    thi0 = jnp.asarray(np.asarray(img_flat))
-    tht0 = jnp.asarray(np.asarray(txt_flat))
-    xs = jnp.asarray(image_syn)
-    ys = jnp.asarray(text_syn)
+    thi0 = d._unravel_img(jnp.asarray(np.asarray(img_flat)))
+    tht0 = d._unravel_txt(jnp.asarray(np.asarray(txt_flat)))
+    xs = jnp.asarray(image_syn[:cfg.mini_batch_size], inner_dtype)
+    ys = jnp.asarray(text_syn[:cfg.mini_batch_size], inner_dtype)
     key = jax.random.PRNGKey(0)
+    tmap = jax.tree_util.tree_map
 
     def timeit(fn, *args):
         out = fn(*args)
@@ -106,7 +108,8 @@ def main():
             ki, kt = jax.random.split(kk)
             gi, gt = jax.grad(closs, argnums=(0, 1))(
                 a, b, x, y, jnp.float32(0.1), ki, kt)
-            return (a - 0.1 * gi, b - 0.1 * gt), None
+            return (tmap(lambda p, g: p - 0.1 * g, a, gi),
+                    tmap(lambda p, g: p - 0.1 * g, b, gt)), None
 
         keys = jax.random.split(k, 8)
         (a, b), _ = jax.lax.scan(step, (thi, tht), keys, unroll=8)
@@ -131,24 +134,25 @@ def main():
 
             hg = jax.grad(h_fn, argnums=(0, 1, 2, 3, 4))(
                 a, b, x, y, jnp.float32(0.1))
-            return (a - 1e-4 * hg[0], b - 1e-4 * hg[1]), (hg[2].sum(),
-                                                          hg[3].sum())
+            return (tmap(lambda p, g: p - 1e-4 * g, a, hg[0]),
+                    tmap(lambda p, g: p - 1e-4 * g, b, hg[1])), (
+                        hg[2].sum(), hg[3].sum())
 
         keys = jax.random.split(k, 8)
         (a, b), aux = jax.lax.scan(step, (thi, tht), keys, unroll=8)
         return a, b, aux
 
-    vi = 1e-3 * thi0
-    vt = 1e-3 * tht0
+    vi = tmap(lambda p: 1e-3 * p, thi0)
+    vt = tmap(lambda p: 1e-3 * p, tht0)
     t_b = timeit(scanned_hvp, thi0, tht0, xs, ys, vi, vt, key)
     print(json.dumps({"stage": "B_hvp_bwd_x8", "sec": round(t_b, 4)}),
           flush=True)
 
     # C: the real outer step
-    traj_i = d.put_trajectory(np.stack([np.asarray(thi0),
-                                        np.asarray(thi0) * 1.01]))
-    traj_t = d.put_trajectory(np.stack([np.asarray(tht0),
-                                        np.asarray(tht0) * 1.01]))
+    i0 = np.asarray(img_flat)
+    t0 = np.asarray(txt_flat)
+    traj_i = d.put_trajectory(np.stack([i0, i0 * 1.01]))
+    traj_t = d.put_trajectory(np.stack([t0, t0 * 1.01]))
 
     def full():
         m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
