@@ -65,42 +65,62 @@ def main():
         one()
         one()
 
-    planes = sorted(glob.glob(os.path.join(
-        out_dir, "plugins/profile/*/*.xplane.pb")))
-    if not planes:
-        print(json.dumps({"error": "no xplane captured", "dir": out_dir}))
+    report(out_dir, n_steps=2)
+
+
+def report(out_dir: str, n_steps: int = 2):
+    """Aggregate the captured chrome trace by HLO category and source
+    line (the tensorboard_plugin_profile proto converter is broken
+    against the installed TF, so we parse trace.json.gz directly —
+    events carry hlo_category / bytes_accessed / source)."""
+    import collections
+    import gzip
+
+    traces = sorted(glob.glob(os.path.join(
+        out_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not traces:
+        print(json.dumps({"error": "no trace captured", "dir": out_dir}))
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [planes[-1]], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    rows = list(csv.reader(io.StringIO(data)))
-    hdr = rows[0]
-    print("columns:", hdr)
-
-    def col(name):
-        for i, h in enumerate(hdr):
-            if name.lower() in h.lower():
-                return i
-        return None
-
-    c_time = col("total time")
-    if c_time is None:
-        c_time = col("occurrences") and col("time")
-    c_name = col("hlo op name") or col("op name") or 1
-    c_cat = col("category")
-    body = rows[1:]
-    try:
-        body.sort(key=lambda r: -float(r[c_time]))
-    except Exception:
-        pass
-    for r in body[:40]:
-        nm = r[c_name][:90] if c_name is not None else r
-        cat = r[c_cat] if c_cat is not None else ""
-        print(f"{float(r[c_time]):>14.1f}  {cat:<22} {nm}")
+    with gzip.open(traces[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    tids = {}
+    for e in ev:
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e.get("pid") == 3):
+            tids[e["tid"]] = e["args"].get("name")
+    opthreads = {t for t, n in tids.items() if n == "XLA Ops"}
+    by_cat = collections.Counter()
+    by_cat_b = collections.Counter()
+    by_cat_n = collections.Counter()
+    by_src = collections.Counter()
+    tot_t = tot_b = 0
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") == 3
+                and e.get("tid") in opthreads):
+            a = e.get("args", {})
+            cat = a.get("hlo_category", "?")
+            dur = e.get("dur", 0)
+            b = int(a.get("bytes_accessed", 0) or 0)
+            by_cat[cat] += dur
+            by_cat_b[cat] += b
+            by_cat_n[cat] += 1
+            by_src[a.get("source", "")[:90]] += dur
+            tot_t += dur
+            tot_b += b
+    k = n_steps
+    print(f"total: {tot_t/k/1e3:.0f} ms/step, {tot_b/k/2**30:.0f} GiB/step")
+    print("\n== by hlo_category (per step) ==")
+    for cat, us in by_cat.most_common(16):
+        print(f"{us/k/1e3:8.1f} ms {by_cat_b[cat]/k/2**30:8.1f} GiB "
+              f"x{by_cat_n[cat]//k:<6} {cat}")
+    print("\n== by source line (per step, top 12) ==")
+    for src, us in by_src.most_common(12):
+        print(f"{us/k/1e3:8.1f} ms  {src}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:  # report-only on an existing capture dir
+        report(sys.argv[1])
+    else:
+        main()
