@@ -92,6 +92,8 @@ def main():
             remat_prevent_cse=os.environ["BENCH_PREVENT_CSE"] == "1")
     if os.environ.get("BENCH_HVP_MODE"):
         cfg = cfg.replace(hvp_mode=os.environ["BENCH_HVP_MODE"])
+    if os.environ.get("BENCH_CARRY_MODE"):
+        cfg = cfg.replace(carry_mode=os.environ["BENCH_CARRY_MODE"])
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
 

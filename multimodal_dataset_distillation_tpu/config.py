@@ -162,6 +162,14 @@ class Config:
     #              no remat; residuals are (th, g, x, y) per step).
     # Identical math; pinned by float64 FD tests + torch parity harness.
     hvp_mode: str = "reverse"
+    # what the inner-unroll scan carries (engine/distill.py):
+    #   "flat": buffer-format flat param vectors — one carry buffer per
+    #           modality, XLA aliases updates across a fully-unrolled
+    #           scan (fastest on v5e at scan_unroll=8)
+    #   "tree": the param pytree, unraveled once per outer step — far
+    #           fewer device ops; better for small models / memory
+    #           profiling, but defeats buffer aliasing at high unroll
+    carry_mode: str = "flat"
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
     # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
     # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.

@@ -213,11 +213,33 @@ class Distiller:
             return sum(jnp.vdot(x, y) for x, y in zip(
                 jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
 
+        # --carry_mode: what the scan carries through the unroll.
+        #   "flat" (default): the buffer-format flat vectors; each use
+        #     unravels in-graph.  ONE carry buffer per modality lets XLA
+        #     alias updates across the fully-unrolled scan — measured
+        #     0.856 steps/s @ scan_unroll=8 on v5e-1 (fits in 15.6 GB).
+        #   "tree": the param pytree, unraveled once per outer step —
+        #     ~38k fewer device ops/step (no per-use slice/concat storm)
+        #     and 1.7x faster on small CPU configs, but the 200-leaf
+        #     carry defeats XLA's buffer aliasing at high scan_unroll
+        #     (unroll=8 needs 20.3 GB -> OOM; unroll<=2 fits but is ~3%
+        #     slower than flat@8 on v5e).  Kept for small models and as
+        #     the memory-profile-friendly mode.
+        # All inner-step code below is carry-agnostic: a flat vector is
+        # just a single-leaf pytree to tree_map/tree_leaves.
+        carry_tree = getattr(cfg, "carry_mode", "flat") == "tree"
+
         def closs(thi, tht, x, y, lr_i, ki, kt):
-            f = self._img_forward_tree(thi, x, ki,
-                                       inner_dtype).astype(out_dtype)
-            g = self._txt_forward_tree(tht, y, kt,
-                                       inner_dtype).astype(out_dtype)
+            if carry_tree:
+                f = self._img_forward_tree(thi, x, ki,
+                                           inner_dtype).astype(out_dtype)
+                g = self._txt_forward_tree(tht, y, kt,
+                                           inner_dtype).astype(out_dtype)
+            else:
+                f = self._img_forward(thi, x, ki,
+                                      inner_dtype).astype(out_dtype)
+                g = self._txt_forward(tht, y, kt,
+                                      inner_dtype).astype(out_dtype)
             f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
             g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
             scale = (RAW_LOG_SCALE if cfg.inner_scale == "fixed"
@@ -343,9 +365,9 @@ class Distiller:
 
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
-            # flat buffer-format vectors -> trees ONCE per outer step
-            ti0 = self._unravel_img(img_th0)
-            tt0 = self._unravel_txt(txt_th0)
+            # tree mode: flat buffer-format vectors -> trees ONCE here
+            ti0 = self._unravel_img(img_th0) if carry_tree else img_th0
+            tt0 = self._unravel_txt(txt_th0) if carry_tree else txt_th0
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
             g = max(1, int(getattr(cfg, "remat_group", 1)))
             if remat_on and g > 1 and idx_seq.shape[0] % g == 0:
@@ -369,8 +391,8 @@ class Distiller:
                 (thiF, thtF), _ = jax.lax.scan(
                     f, (ti0, tt0), (idx_seq, keys),
                     unroll=max(1, int(getattr(cfg, "scan_unroll", 1))))
-            tgt_i = self._unravel_img(img_tgt)
-            tgt_t = self._unravel_txt(txt_tgt)
+            tgt_i = self._unravel_img(img_tgt) if carry_tree else img_tgt
+            tgt_t = self._unravel_txt(txt_tgt) if carry_tree else txt_tgt
             dt_i = img_tgt.dtype
             dt_t = txt_tgt.dtype
             img_loss = (_tree_mse(thiF, tgt_i, dt_i)
@@ -395,12 +417,14 @@ class Distiller:
 
             def collect(carry, inp):
                 out, _ = f(carry, inp)
-                return out, (ravel_pytree(out[0])[0], ravel_pytree(out[1])[0])
+                if carry_tree:
+                    return out, (ravel_pytree(out[0])[0],
+                                 ravel_pytree(out[1])[0])
+                return out, out
 
-            _, (his, hts) = jax.lax.scan(
-                collect,
-                (self._unravel_img(img_th0), self._unravel_txt(txt_th0)),
-                (idx_seq, keys))
+            c0 = ((self._unravel_img(img_th0), self._unravel_txt(txt_th0))
+                  if carry_tree else (img_th0, txt_th0))
+            _, (his, hts) = jax.lax.scan(collect, c0, (idx_seq, keys))
             return his, hts
 
         self.unroll = unroll

@@ -265,14 +265,15 @@ def test_single_modality_distillation(mode):
 
 
 
-def _tiny_setup_hvp(hvp_mode, inner_scale, dtype=np.float64):
+def _tiny_setup_hvp(hvp_mode, inner_scale, dtype=np.float64,
+                    carry_mode="flat"):
     cfg = Config(
         image_encoder="convnet_tiny", image_size=16,
         num_queries=8, syn_steps=3, mini_batch_size=4,
         lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
         lr_teacher_img=0.05, lr_teacher_txt=0.05,
         inner_scale=inner_scale, inner_dtype="float64",
-        hvp_mode=hvp_mode, seed=0)
+        hvp_mode=hvp_mode, carry_mode=carry_mode, seed=0)
     model = VLBiEncoder(image_encoder_name="convnet_tiny",
                         text_embedding=768, image_embedding=64)
     variables = init_bi_encoder(model, cfg)
@@ -315,6 +316,32 @@ def test_hvp_forward_matches_reverse(inner_scale):
             np.testing.assert_allclose(
                 a, b, rtol=1e-9, atol=1e-12,
                 err_msg=f"{name} grad mismatch (inner_scale={inner_scale})")
+
+
+@pytest.mark.parametrize("hvp_mode", ["reverse", "forward"])
+def test_carry_tree_matches_flat(hvp_mode):
+    """carry_mode="tree" (param-pytree scan carry) must produce THE SAME
+    meta-gradients as the default flat-vector carry — the unravel point
+    moves, the math does not.  float64, both hvp modes, dropout on."""
+    with jax.enable_x64():
+        grads = {}
+        for carry in ("flat", "tree"):
+            cfg, d, i0, t0, it, tt = _tiny_setup_hvp(
+                hvp_mode, "fixed", carry_mode=carry)
+            idx = jnp.asarray(d.sample_indices(np.random.RandomState(1)))
+            keys = jax.random.split(jax.random.PRNGKey(7), cfg.syn_steps)
+            loss_f = lambda *a: d.grand_loss(*a)[0]
+            g = jax.grad(loss_f, argnums=(0, 1, 2, 3))(
+                d.state.image_syn, d.state.text_syn,
+                d.state.syn_lr_img, d.state.syn_lr_txt,
+                jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+                jnp.asarray(tt), idx, keys)
+            grads[carry] = [np.asarray(x) for x in g]
+        for a, b, name in zip(grads["flat"], grads["tree"],
+                              ("pixels", "texts", "lr_img", "lr_txt")):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-9, atol=1e-12,
+                err_msg=f"{name} grad mismatch (hvp_mode={hvp_mode})")
 
 
 @pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
