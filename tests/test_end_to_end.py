@@ -80,6 +80,41 @@ def test_full_pipeline(tiny_cfg, _chdir_tmp):
     assert any(f.startswith("distilled_") for f in found)
 
 
+def test_nan_bailout_stops_loop(tmp_path, _chdir_tmp):
+    """The pipelined driver loop must stop on a NaN param loss (the
+    reference's bailout, distill.py:599) — detection is one step delayed
+    by design, so the loop must terminate early, not run to Iteration."""
+    from multimodal_dataset_distillation_tpu.cli.distill import main as distill_main
+
+    cfg = Config(
+        dataset="synthetic", synthetic_size=16, synthetic_test_size=8,
+        image_encoder="convnet_tiny", image_size=16,
+        text_encoder_config="tiny", text_pretrained=False,
+        num_queries=8, syn_steps=2, mini_batch_size=4, expert_epochs=1,
+        max_start_epoch=1, Iteration=50, eval_it=100, num_eval=0,
+        batch_size_train=8, batch_size_test=8, batch_train=8,
+        # absurd inner LR seeds: the student update explodes to inf/NaN
+        # within a few outer steps
+        lr_teacher_img=1e30, lr_teacher_txt=1e30,
+        lr_img=10.0, lr_txt=10.0, lr_lr=0.0,
+        buffer_path=str(tmp_path / "nobuffers"), save_dir=str(tmp_path),
+        disable_wandb=True, draw=False, seed=0)
+    distiller, history = distill_main(cfg)
+    # the loop stopped well before Iteration: non-NaN Grand_Loss entries
+    # in the run log are the completed (drained) steps
+    import json as _json
+
+    logs = [p for p in os.listdir(tmp_path) if p.endswith(".jsonl")]
+    assert logs, "run log missing"
+    n_steps = 0
+    with open(os.path.join(tmp_path, logs[0])) as f:
+        for line in f:
+            if "Grand_Loss" in line:
+                n_steps += 1
+    assert n_steps < cfg.Iteration, (
+        f"NaN bailout did not stop the loop ({n_steps} steps logged)")
+
+
 def test_buffer_pt_roundtrip(tmp_path):
     """torch .pt container format round-trips through our codec."""
     import jax
