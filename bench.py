@@ -64,11 +64,15 @@ def main():
         # (f32 flat params + meta-grad accumulation, bf16 tower compute) —
         # the analog of the fork reference's AMP epoch (epoch.py:59-98).
         # Measured on v5e-1: f32 0.423 steps/s, bf16 0.726 steps/s.
+        # production-default perf config, best measured on v5e-1:
+        # bf16 inner compute, flat carry, full scan unroll, forward-HVP
+        # meta-backward (see DESIGN.md §10 for the measured alternatives)
         cfg = Config(image_encoder="nfnet", image_size=224, num_queries=100,
                      syn_steps=8, mini_batch_size=100, expert_epochs=1,
                      lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
                      lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0,
-                     inner_dtype="bfloat16", scan_unroll=8)
+                     inner_dtype="bfloat16", scan_unroll=8,
+                     hvp_mode="forward")
         iters, warmup = 10, 2
     else:
         cfg = Config(image_encoder="convnet_tiny", image_size=32,
