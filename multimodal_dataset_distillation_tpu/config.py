@@ -161,7 +161,11 @@ class Config:
     #              mixed terms (reverse-over-forward, ~4-5 fwd-equiv/step,
     #              no remat; residuals are (th, g, x, y) per step).
     # Identical math; pinned by float64 FD tests + torch parity harness.
-    hvp_mode: str = "reverse"
+    # "forward" is the default: measured faster on v5e (0.823 vs 0.778
+    # steps/s sync) and OOM-free at the headline config where noremat
+    # reverse OOMs.  Use "reverse" to cross-check or for remat_policy
+    # experiments (remat flags only apply in reverse mode).
+    hvp_mode: str = "forward"
     # what the inner-unroll scan carries (engine/distill.py):
     #   "flat": buffer-format flat param vectors — one carry buffer per
     #           modality, XLA aliases updates across a fully-unrolled
