@@ -30,6 +30,9 @@ timeout 5400 python /root/repo/distill.py \
   --batch_size_test=64 --buffer_path=./buffers/synthetic/nfnet/bert \
   --save_dir=./logged_files --lr_img=1000 --lr_txt=1000 --lr_lr=0.01 \
   --lr_teacher_img=0.1 --lr_teacher_txt=0.1 --inner_dtype=bfloat16 \
-  --scan_unroll=8 --hvp_mode=forward --std True
+  --scan_unroll=2 --hvp_mode=forward --std True
+# scan_unroll=2, not 8: the fully-unrolled step peaks at 15.6 GB of
+# temps — fine standalone (bench.py), but alongside a 5-snapshot
+# resident trajectory + eval-model residue it runtime-OOMs on v5e-16GB.
 
 echo "=== done; artifacts in $OUT ==="
