@@ -595,7 +595,16 @@ class ExpertCycler:
         if load_all:
             self._all = [(self._trim(self._load(i)), self._trim(self._load(t)))
                          for i, t in zip(self.img_files, self.txt_files)]
-        self._device_cache: Dict[int, Tuple[Any, Any]] = {}
+        # bounded LRU of device trajectory copies: one NFNet-L0
+        # trajectory is ~(T, 35M) f32 = GBs in HBM, so caching every
+        # --load_all file's copies would OOM next to the 15+ GB step
+        # temps.  The access pattern is cyclic with long dwell per
+        # trajectory (Iteration >> num_experts), so a small LRU keeps
+        # the hit rate ~1 while bounding HBM.
+        from collections import OrderedDict
+
+        self._device_cache: "OrderedDict[Any, Tuple[Any, Any]]" = OrderedDict()
+        self._device_cache_cap = 4
         self._shuffle()
         self.file_idx = 0
         self.expert_idx = 0
@@ -672,6 +681,10 @@ class ExpertCycler:
             hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
                    _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)))
             self._device_cache[key] = hit
+            while len(self._device_cache) > self._device_cache_cap:
+                self._device_cache.popitem(last=False)  # evict LRU
+        else:
+            self._device_cache.move_to_end(key)
         return hit[0], hit[1], start
 
 
