@@ -222,22 +222,43 @@ def main(cfg: Config):
                 break
             pending = None
             results = []
-            for it_eval in range(cfg.num_eval):
-                eval_cfg = cfg.replace(
-                    distill=True, lr_net=float(distiller.state.syn_lr_img))
-                eval_model = build_bi_encoder(eval_cfg)
-                eval_vars = init_bi_encoder(
-                    eval_model, eval_cfg.replace(seed=cfg.seed + 1000 + it_eval))
-                img_eval = np.asarray(distiller.state.image_syn)
-                txt_eval = np.asarray(distiller.state.text_syn)
-                _, acc, val = evaluate_synset(
-                    it_eval, eval_model, eval_vars, img_eval, txt_eval,
-                    testloader, eval_cfg, bert_test_embed)
-                results.append(val)
-                print(f"Evaluate_{it_eval:02d}: "
-                      + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
-                if not cfg.std:
-                    logger.log(val, step=it)
+            eval_cfg = cfg.replace(
+                distill=True, lr_net=float(distiller.state.syn_lr_img))
+            eval_model = build_bi_encoder(eval_cfg)
+            img_eval = np.asarray(distiller.state.image_syn)
+            txt_eval = np.asarray(distiller.state.text_syn)
+            if cfg.parallel_eval and cfg.num_eval > 1:
+                # all num_eval fresh models as one vmapped program
+                # (--parallel_eval; engine/eval.py)
+                from multimodal_dataset_distillation_tpu.engine.eval import (
+                    evaluate_synset_parallel,
+                )
+
+                var_list = [
+                    init_bi_encoder(eval_model, eval_cfg.replace(
+                        seed=cfg.seed + 1000 + j))
+                    for j in range(cfg.num_eval)]
+                _, results = evaluate_synset_parallel(
+                    cfg.num_eval, eval_model, var_list, img_eval, txt_eval,
+                    testloader, eval_cfg, bert_test_embed, mesh=mesh)
+                for it_eval, val in enumerate(results):
+                    print(f"Evaluate_{it_eval:02d}: "
+                          + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+                    if not cfg.std:
+                        logger.log(val, step=it)
+            else:
+                for it_eval in range(cfg.num_eval):
+                    eval_vars = init_bi_encoder(
+                        eval_model,
+                        eval_cfg.replace(seed=cfg.seed + 1000 + it_eval))
+                    _, acc, val = evaluate_synset(
+                        it_eval, eval_model, eval_vars, img_eval, txt_eval,
+                        testloader, eval_cfg, bert_test_embed)
+                    results.append(val)
+                    print(f"Evaluate_{it_eval:02d}: "
+                          + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+                    if not cfg.std:
+                        logger.log(val, step=it)
             if cfg.std and results:
                 agg = {}
                 for k in results[0]:

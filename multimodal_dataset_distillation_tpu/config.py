@@ -174,6 +174,10 @@ class Config:
     #           fewer device ops; better for small models / memory
     #           profiling, but defeats buffer aliasing at high unroll
     carry_mode: str = "flat"
+    # evaluate all --num_eval synset models as ONE vmapped program
+    # (engine/eval.py::evaluate_synset_parallel) instead of the
+    # reference's sequential loop (distill.py:303-328)
+    parallel_eval: bool = False
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
     # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
     # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.

@@ -170,3 +170,48 @@ def evaluate_synset(it_eval: int, model: VLBiEncoder, variables,
     val_result = itm_eval(i2t, t2i, testloader.dataset.txt2img,
                           testloader.dataset.img2txt)
     return trainer.variables, acc_list, val_result
+
+
+def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
+                             variables_list, images_train: np.ndarray,
+                             texts_train: np.ndarray, testloader,
+                             cfg: Config, bert_test_embed: np.ndarray,
+                             mesh=None):
+    """All ``num_eval`` synset evaluations as ONE vmapped program.
+
+    The reference trains its ``num_eval`` fresh models strictly
+    sequentially (distill.py:303-328) even though they are independent —
+    the same structure as phase-1 experts (SURVEY §2.6 row EP).  Here the
+    eval axis is a vmapped leading dimension over parameters, optimizer
+    traces, and batches (:class:`ParallelExpertTrainer`); on a mesh the K
+    axis shards over ``data``.  Model ``j`` gets the init from
+    ``variables_list[j]`` and its own ``seed + j`` batch stream, matching
+    ``evaluate_synset(it_eval=j, ...)``; dropout key streams differ from
+    the sequential path (statistically equivalent, not bit-equal).
+
+    Returns ``(acc_lists, val_results)`` — lists of length ``num_eval``.
+    """
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        ParallelExpertTrainer,
+    )
+
+    trainer = ParallelExpertTrainer(
+        model, list(variables_list), lr_img=float(cfg.lr_net),
+        lr_txt=float(cfg.lr_net), momentum=0.9, weight_decay=5e-4,
+        seed=cfg.seed, mesh=mesh)
+    loaders = [ArrayPairLoader(images_train, texts_train,
+                               batch_size=cfg.batch_train, shuffle=True,
+                               seed=cfg.seed + j) for j in range(num_eval)]
+    acc_hist = []
+    for _ep in range(int(cfg.epoch_eval_train) + 1):
+        _loss, acc = trainer.train_epoch_captions(loaders, lambda t: t)
+        acc_hist.append(np.asarray(acc))
+    acc_lists = [[float(a[j]) for a in acc_hist] for j in range(num_eval)]
+    val_results = []
+    for j in range(num_eval):
+        vs = trainer.variables_for(j)
+        i2t, t2i = epoch_test(testloader, model, vs, bert_test_embed,
+                              cfg.k_test)
+        val_results.append(itm_eval(i2t, t2i, testloader.dataset.txt2img,
+                                    testloader.dataset.img2txt))
+    return acc_lists, val_results

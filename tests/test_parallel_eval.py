@@ -1,0 +1,74 @@
+"""--parallel_eval: all num_eval synset evaluations as one vmapped
+program (engine/eval.py::evaluate_synset_parallel) vs the reference's
+sequential loop (distill.py:303-328)."""
+
+import numpy as np
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.data.datasets import SyntheticVLEval
+from multimodal_dataset_distillation_tpu.data.pipeline import Loader
+from multimodal_dataset_distillation_tpu.engine.eval import (
+    evaluate_synset,
+    evaluate_synset_parallel,
+)
+from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
+from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder
+
+
+def _setup(num_eval=2):
+    cfg = Config(image_encoder="convnet_tiny", image_size=16,
+                 text_encoder_config="tiny", text_pretrained=False,
+                 batch_train=4, epoch_eval_train=1, k_test=4,
+                 batch_size_test=8, lr_net=0.05, seed=0,
+                 synthetic_test_size=8, num_eval=num_eval)
+    model = VLBiEncoder(image_encoder_name="convnet_tiny",
+                        text_embedding=768, image_embedding=64)
+    var_list = [init_bi_encoder(model, cfg.replace(seed=cfg.seed + 1000 + j))
+                for j in range(num_eval)]
+    rng = np.random.RandomState(0)
+    images = rng.randn(8, 16, 16, 3).astype(np.float32)
+    texts = rng.randn(8, 768).astype(np.float32)
+    from multimodal_dataset_distillation_tpu.data.transforms import (
+        make_test_transform,
+    )
+
+    ds = SyntheticVLEval(8, make_test_transform(16), image_size=16, seed=1)
+    testloader = Loader(ds, batch_size=8, shuffle=False, drop_last=False,
+                        num_workers=1)
+    bert_test = rng.randn(len(ds.text), 768).astype(np.float32)
+    return cfg, model, var_list, images, texts, testloader, bert_test
+
+
+def test_parallel_eval_matches_sequential_structure():
+    cfg, model, var_list, images, texts, testloader, bert_test = _setup(2)
+    accs, results = evaluate_synset_parallel(
+        2, model, var_list, images, texts, testloader, cfg, bert_test)
+    assert len(results) == 2 and len(accs) == 2
+    keys = {"txt_r1", "txt_r5", "txt_r10", "txt_r_mean",
+            "img_r1", "img_r5", "img_r10", "img_r_mean", "r_mean"}
+    for val, acc in zip(results, accs):
+        assert set(val) == keys
+        assert all(np.isfinite(v) for v in val.values())
+        assert len(acc) == cfg.epoch_eval_train + 1
+        assert all(np.isfinite(a) for a in acc)
+    # different inits -> (almost surely) different end states
+    assert results[0] != results[1] or accs[0] != accs[1]
+
+
+def test_parallel_eval_tracks_sequential_metrics():
+    """Dropout streams differ from the sequential path, so exact equality
+    is not expected — but with the same inits and batch orders the
+    retrieval metrics must land in the same range."""
+    cfg, model, var_list, images, texts, testloader, bert_test = _setup(2)
+    accs_p, res_p = evaluate_synset_parallel(
+        2, model, var_list, images, texts, testloader, cfg, bert_test)
+    res_s = []
+    for j in range(2):
+        _, acc, val = evaluate_synset(j, model, var_list[j], images, texts,
+                                      testloader, cfg, bert_test)
+        res_s.append(val)
+    for vp, vs in zip(res_p, res_s):
+        # r_mean on an 8-image eval moves in steps of ~4 points; allow a
+        # generous band — this guards against wiring bugs (wrong model,
+        # wrong lr, missing training), not dropout noise
+        assert abs(vp["r_mean"] - vs["r_mean"]) < 40.0
