@@ -6,9 +6,13 @@
 2. Expert step: NFNet-L0 + projection, batch 128 @224 — images/sec and
    epochs/hr on Flickr-sized data (29k pairs).
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
