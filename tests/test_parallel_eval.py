@@ -55,6 +55,26 @@ def test_parallel_eval_matches_sequential_structure():
     assert results[0] != results[1] or accs[0] != accs[1]
 
 
+def test_parallel_eval_under_mesh():
+    """num_eval=8 synset evaluations sharded over an 8-device mesh."""
+    from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
+
+    cfg, model, _, images, texts, testloader, bert_test = _setup(2)
+    cfg = cfg.replace(num_eval=8)
+    var_list = [init_bi_encoder(model, cfg.replace(seed=cfg.seed + 1000 + j))
+                for j in range(8)]
+    mesh = get_mesh((8,), ("data",))
+    with mesh:
+        accs, results = evaluate_synset_parallel(
+            8, model, var_list, images, texts, testloader, cfg, bert_test,
+            mesh=mesh)
+    assert len(results) == 8
+    for val in results:
+        assert all(np.isfinite(v) for v in val.values())
+    # different inits -> at least some distinct outcomes
+    assert len({round(v["r_mean"], 4) for v in results}) > 1
+
+
 def test_parallel_eval_tracks_sequential_metrics():
     """Dropout streams differ from the sequential path, so exact equality
     is not expected — but with the same inits and batch orders the
