@@ -238,9 +238,12 @@ def main(cfg: Config):
                     init_bi_encoder(eval_model, eval_cfg.replace(
                         seed=cfg.seed + 1000 + j))
                     for j in range(cfg.num_eval)]
+                eval_mesh = (mesh if mesh is not None
+                             and cfg.num_eval % mesh.shape.get("data", 1) == 0
+                             else None)
                 _, results = evaluate_synset_parallel(
                     cfg.num_eval, eval_model, var_list, img_eval, txt_eval,
-                    testloader, eval_cfg, bert_test_embed, mesh=mesh)
+                    testloader, eval_cfg, bert_test_embed, mesh=eval_mesh)
                 for it_eval, val in enumerate(results):
                     print(f"Evaluate_{it_eval:02d}: "
                           + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
