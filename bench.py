@@ -103,6 +103,10 @@ def main():
         cfg = cfg.replace(hvp_mode=os.environ["BENCH_HVP_MODE"])
     if os.environ.get("BENCH_CARRY_MODE"):
         cfg = cfg.replace(carry_mode=os.environ["BENCH_CARRY_MODE"])
+    if os.environ.get("BENCH_FR_REMAT"):
+        cfg = cfg.replace(fr_remat=os.environ["BENCH_FR_REMAT"])
+    if os.environ.get("BENCH_FR_RESID"):
+        cfg = cfg.replace(fr_resid_dtype=os.environ["BENCH_FR_RESID"])
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
 
@@ -133,6 +137,19 @@ def main():
     def dispatch():
         idx = d.sample_indices(rng)
         return d.step_traj(traj_img, traj_txt, 0, idx)
+
+    if os.environ.get("BENCH_PRINT_MEM"):
+        # temp-footprint diagnostic for perf experiments (stderr so the
+        # stdout JSON contract is untouched)
+        idx = d.sample_indices(rng)
+        compiled = d._step_traj.lower(
+            d.state, traj_img, traj_txt, np.int32(0),
+            __import__("jax").numpy.asarray(idx),
+            __import__("jax").random.PRNGKey(0)).compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            print(f"temp_mib={getattr(ma, 'temp_size_in_bytes', 0) / 2**20:.0f}",
+                  file=sys.stderr)
 
     for _ in range(warmup):
         float(dispatch()["grand_loss"])  # sync during warmup/compile

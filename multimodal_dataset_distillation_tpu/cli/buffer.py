@@ -218,7 +218,9 @@ def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
         trainer = ParallelExpertTrainer(
             model, var_list, lr_img=cfg.lr_teacher_img,
             lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
-            seed=cfg.seed + it0, mesh=mesh)
+            # per-expert key chains matching sequential
+            # BiEncoderTrainer(seed=cfg.seed + it) runs exactly
+            seeds=[cfg.seed + it0 + j for j in range(k)], mesh=mesh)
         # one batch stream per expert (reference per-expert shuffling)
         loaders = [Loader(trainloader.dataset, trainloader.batch_size,
                           shuffle=True, drop_last=True,

@@ -158,7 +158,8 @@ def main(cfg: Config):
     img_files, txt_files = discover_buffers(expert_dir)
     cycler = ExpertCycler(img_files, txt_files, cfg.max_start_epoch,
                           cfg.expert_epochs, cfg.max_files, seed=cfg.seed,
-                          load_all=cfg.load_all, max_experts=cfg.max_experts)
+                          load_all=cfg.load_all, max_experts=cfg.max_experts,
+                          device_cache_cap=cfg.traj_cache_cap)
 
     # sanity: buffer width must match this student's flat size
     seg = cycler.img_buffer[0]
@@ -194,16 +195,27 @@ def main(cfg: Config):
     pending = None  # (it, metrics) of the last dispatched step
 
     def drain(pending):
-        """Sync + log the previous step's metrics; False on NaN."""
+        """Sync + log the previous step's metrics; False on NaN.
+
+        On NaN the bailout iteration is recorded as
+        ``distiller.nan_bailout_it``; because the loop is pipelined, the
+        step AFTER the NaN one was already dispatched, so
+        ``distiller.state`` is one (NaN-contaminated) step past the
+        detection point — callers must treat it as invalid whenever
+        ``nan_bailout_it`` is set.
+        """
         if pending is None:
             return True
         pit, metrics = pending
         grand = float(metrics["grand_loss"])
         if math.isnan(float(metrics["img_param_loss"])):
             print("NaN param loss — stopping (distill.py:599)")
+            distiller.nan_bailout_it = pit
             return False
-        logger.log({"Synthetic_LR_Image": float(metrics["syn_lr_img"]),
-                    "Synthetic_LR_Text": float(metrics["syn_lr_txt"])},
+        # logged LRs are the PRE-step values, like the reference's
+        # per-iteration wandb.log of syn_lr before optimizer.step
+        logger.log({"Synthetic_LR_Image": float(metrics["syn_lr_img_pre"]),
+                    "Synthetic_LR_Text": float(metrics["syn_lr_txt_pre"])},
                    step=pit)
         logger.log({"Grand_Loss": grand,
                     "Start_Epoch": metrics["_start_epoch"],

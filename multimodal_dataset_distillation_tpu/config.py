@@ -166,6 +166,25 @@ class Config:
     # reverse OOMs.  Use "reverse" to cross-check or for remat_policy
     # experiments (remat flags only apply in reverse mode).
     hvp_mode: str = "forward"
+    # hvp_mode="forward" memory controls (the headline-step HBM levers,
+    # DESIGN.md §10: 15.6 GB temps -> ~175 GiB/step spill DMA competing
+    # with the conv traffic for HBM bandwidth):
+    #   fr_resid_dtype: dtype of the per-step custom-VJP residuals
+    #     (theta, g per modality — ~2.2 GB/step-unroll at NFNet-L0 scale).
+    #     "carry" stores them in the f32 carry dtype; "inner" stores them
+    #     in inner_dtype (bf16 halves them).  EXACT for the theta path
+    #     when inner_dtype=bfloat16: the forward computes with cast(theta)
+    #     and the backward re-upcasts the stored bf16 to the identical
+    #     cast point.  Only the scalar inner-LR cotangent <g, ybar> sees
+    #     the rounding (~1e-3 relative).
+    #   fr_remat: jax.checkpoint policy applied to the inner contrastive
+    #     loss inside the forward-HVP fwd/bwd. "none" saves the full
+    #     (primal+tangent) activation set per step; "full" saves nothing
+    #     (replays); "names" saves only the tagged NF-net block outputs
+    #     (models/nfnet.py checkpoint_name tags); "dots_no_batch" saves
+    #     weight-shaped matmul operands.  Bit-exact (scheduling only).
+    fr_resid_dtype: str = "carry"        # carry | inner
+    fr_remat: str = "none"               # none | full | names | dots_no_batch
     # what the inner-unroll scan carries (engine/distill.py):
     #   "flat": buffer-format flat param vectors — one carry buffer per
     #           modality, XLA aliases updates across a fully-unrolled
@@ -176,8 +195,12 @@ class Config:
     carry_mode: str = "flat"
     # evaluate all --num_eval synset models as ONE vmapped program
     # (engine/eval.py::evaluate_synset_parallel) instead of the
-    # reference's sequential loop (distill.py:303-328)
-    parallel_eval: bool = False
+    # reference's sequential loop (distill.py:303-328).  ON by default:
+    # per-model RNG streams are parity-exact with the sequential path
+    # (same dropout chains, same batch order; tests/test_parallel_eval.py)
+    # and the vmapped program cuts eval wall time ~num_eval-fold.
+    # --parallel_eval=False restores the reference-sequential loop.
+    parallel_eval: bool = True
     # NOTE: a carry_dtype=bfloat16 mode (checkpoint the unroll carry in
     # bf16) was measured in round 1 and REMOVED: 3x slower (the per-step
     # 160 MB cast pairs break XLA fusion) and ~25-30% inner-LR grad drift.
@@ -214,6 +237,12 @@ class Config:
     # run RandAugment(2,5) + CLIP normalization inside the jitted expert
     # step (loaders emit raw [0,255] crops); host PIL RandAugment when off
     device_augment: bool = False
+    # HBM cache capacity for device-resident expert trajectories
+    # (ExpertCycler): each NFNet-L0 trajectory slice is GBs; the cyclic
+    # access pattern uses MRU-excluding-newest eviction (cap-1 pinned +
+    # 1 rotating slot).  Size it so cap * trajectory_bytes fits next to
+    # the step temps; <=0 disables device caching (re-upload per step)
+    traj_cache_cap: int = 4
     # optional global-norm clipping of the three outer distillation
     # gradients (0 = off = reference behavior); guards against the
     # syn_lr runaway divergence mode at aggressive outer LRs
@@ -239,6 +268,8 @@ class Config:
             "convnet": 768,
             "resnet18": 512,
             "convnext": 640,
+            "nf_tiny": 128,
+            "convnet_tiny": 64,
         }
         return table.get(self.image_encoder, 1000)
 

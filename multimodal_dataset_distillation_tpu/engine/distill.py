@@ -153,6 +153,10 @@ class Distiller:
                     self.state.opt_txt))
         self._step = self._build_step()
         self.rng = jax.random.PRNGKey(cfg.seed)
+        # set by drivers when the NaN bailout fires: the pipelined loop
+        # has already dispatched one more step, so state is one step past
+        # the NaN and must be treated as invalid when this is not None
+        self.nan_bailout_it: Optional[int] = None
 
     # -- functional towers over param trees ---------------------------------
     #
@@ -268,23 +272,67 @@ class Distiller:
         def _float0_zeros(k):
             return _np.zeros(_np.shape(k), dtype=jax.dtypes.float0)
 
+        # --fr_remat: remat policy on the inner loss for BOTH fr uses
+        # (the fwd grad and the bwd grad-of-jvp).  Replay is bit-exact —
+        # this only changes what XLA keeps live, trading ~1 extra
+        # forward-equivalent of recompute per inner step for a much
+        # smaller activation footprint (the 15.6 GB temps / spill-DMA
+        # lever, DESIGN.md §10).
+        _fr_policies = {
+            "none": "off",
+            "full": None,  # save nothing, replay everything
+            "names": jax.checkpoint_policies.save_only_these_names(
+                "nf_stem_out",
+                *[f"nf_stage{s}_block{b}_out"
+                  for s, d in ((0, 4), (1, 8), (2, 12), (3, 12))
+                  for b in range(d)]),
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        _frr = getattr(cfg, "fr_remat", "none")
+        if _fr_policies.get(_frr, "off") != "off":
+            closs_fr = jax.checkpoint(closs, policy=_fr_policies[_frr],
+                                      prevent_cse=False)
+        else:
+            closs_fr = closs
+
+        # --fr_resid_dtype="inner": store the big per-step residuals
+        # (theta, g per modality) in inner_dtype.  theta is EXACT: the
+        # fwd computed with cast(theta_f32) and the bwd re-upcasts the
+        # stored bf16 to that identical cast point before closs re-casts
+        # it.  g only feeds the scalar <g, ybar> inner-LR cotangent
+        # (f32-accumulated vdot of bf16 operands, ~1e-3 relative).
+        _resid_dt = (inner_dtype
+                     if getattr(cfg, "fr_resid_dtype", "carry") == "inner"
+                     and inner_dtype != jnp.float64 else None)
+
+        def _resid_pack(t):
+            return _tmap(lambda p: p.astype(_resid_dt), t) if _resid_dt else t
+
+        def _resid_unpack(t, dt):
+            return _tmap(lambda p: p.astype(dt), t) if _resid_dt else t
+
         @jax.custom_vjp
         def fr_core(lr_i, lr_t, x, y, thi, tht, ki, kt):
-            gi, gt = jax.grad(closs, argnums=(0, 1))(
+            gi, gt = jax.grad(closs_fr, argnums=(0, 1))(
                 thi, tht, x, y, lr_i, ki, kt)
             return (_tmap(lambda p, g: p - lr_i * g, thi, gi),
                     _tmap(lambda p, g: p - lr_t * g, tht, gt))
 
         def fr_core_fwd(lr_i, lr_t, x, y, thi, tht, ki, kt):
-            gi, gt = jax.grad(closs, argnums=(0, 1))(
+            gi, gt = jax.grad(closs_fr, argnums=(0, 1))(
                 thi, tht, x, y, lr_i, ki, kt)
             out = (_tmap(lambda p, g: p - lr_i * g, thi, gi),
                    _tmap(lambda p, g: p - lr_t * g, tht, gt))
-            return out, (lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt)
+            return out, (lr_i, lr_t, x, y, _resid_pack(thi), _resid_pack(tht),
+                         ki, kt, _resid_pack(gi), _resid_pack(gt))
 
         def fr_core_bwd(res, cot):
             lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt = res
             ybi, ybt = cot
+            cdt = jax.tree_util.tree_leaves(ybi)[0].dtype  # carry dtype
+            thi = _resid_unpack(thi, cdt)
+            tht = _resid_unpack(tht, cdt)
             vi = _tmap(lambda b: lr_i * b, ybi)
             vt = _tmap(lambda b: lr_t * b, ybt)
 
@@ -292,7 +340,7 @@ class Distiller:
                 # tangents only on (thi, tht): x/y/lr ride in by closure,
                 # so no zero-tangent JVP is propagated through the towers
                 _, dh = jax.jvp(
-                    lambda a, b: closs(a, b, x_, y_, lr_i_, ki, kt),
+                    lambda a, b: closs_fr(a, b, x_, y_, lr_i_, ki, kt),
                     (thi_, tht_), (vi, vt))
                 return dh
 
@@ -480,6 +528,11 @@ class Distiller:
             metrics = {"grand_loss": loss, "img_param_loss": img_loss,
                        "txt_param_loss": txt_loss,
                        "syn_lr_img_grad": g_li, "syn_lr_txt_grad": g_lt,
+                       # PRE-step LR values — what the reference logs each
+                       # iteration (it reads syn_lr before optimizer.step,
+                       # distill.py:432-436)
+                       "syn_lr_img_pre": state.syn_lr_img,
+                       "syn_lr_txt_pre": state.syn_lr_txt,
                        # post-step LR values, exposed here so the driver
                        # loop can read everything host-side from the
                        # (non-donated) metrics of the PREVIOUS step and
@@ -573,7 +626,8 @@ class ExpertCycler:
     def __init__(self, img_files: Sequence[str], txt_files: Sequence[str],
                  max_start_epoch: int, expert_epochs: int,
                  max_files: Optional[int] = None, seed: int = 0,
-                 load_all: bool = False, max_experts: Optional[int] = None):
+                 load_all: bool = False, max_experts: Optional[int] = None,
+                 device_cache_cap: int = 4):
         from multimodal_dataset_distillation_tpu.engine.buffer_io import load_buffer
 
         self._load = load_buffer
@@ -595,16 +649,22 @@ class ExpertCycler:
         if load_all:
             self._all = [(self._trim(self._load(i)), self._trim(self._load(t)))
                          for i, t in zip(self.img_files, self.txt_files)]
-        # bounded LRU of device trajectory copies: one NFNet-L0
+        # bounded cache of device trajectory copies: one NFNet-L0
         # trajectory is ~(T, 35M) f32 = GBs in HBM, so caching every
         # --load_all file's copies would OOM next to the 15+ GB step
-        # temps.  The access pattern is cyclic with long dwell per
-        # trajectory (Iteration >> num_experts), so a small LRU keeps
-        # the hit rate ~1 while bounding HBM.
+        # temps.  The access pattern is CYCLIC (_advance moves to the
+        # next (file, expert) every call), for which LRU is the worst
+        # possible policy once total trajectories > cap (every access a
+        # miss -> a multi-GB device_put per outer step).  Eviction is
+        # therefore MRU-excluding-newest: the first cap-1 trajectories
+        # stay pinned and one slot rotates, giving a (cap-1)/N hit rate
+        # for N>cap in rotation (Belady-optimal for a cyclic scan) and
+        # full hits when N<=cap.  ``device_cache_cap`` (--traj_cache_cap)
+        # sizes it; <=0 disables caching entirely.
         from collections import OrderedDict
 
         self._device_cache: "OrderedDict[Any, Tuple[Any, Any]]" = OrderedDict()
-        self._device_cache_cap = 4
+        self._device_cache_cap = device_cache_cap
         self._shuffle()
         self.file_idx = 0
         self.expert_idx = 0
@@ -676,15 +736,20 @@ class ExpertCycler:
 
         img_traj, txt_traj, start = self._advance()
         key = self._last_key
+        if self._device_cache_cap <= 0:
+            return (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
+                    _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)),
+                    start)
         hit = self._device_cache.get(key)
         if hit is None:
             hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
                    _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)))
             self._device_cache[key] = hit
             while len(self._device_cache) > self._device_cache_cap:
-                self._device_cache.popitem(last=False)  # evict LRU
-        else:
-            self._device_cache.move_to_end(key)
+                # evict the most-recent entry EXCLUDING the one just
+                # inserted (see cache-policy comment in __init__)
+                victims = [k for k in self._device_cache if k != key]
+                self._device_cache.pop(victims[-1])
         return hit[0], hit[1], start
 
 
@@ -693,13 +758,26 @@ class ExpertCycler:
 # ---------------------------------------------------------------------------
 
 def get_images_texts(n: int, dataset, text_encoder,
-                     rng: Optional[np.random.RandomState] = None
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Sample n random (transformed image, caption CLS embedding) pairs."""
+                     rng: Optional[np.random.RandomState] = None,
+                     num_workers: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample n random (transformed image, caption CLS embedding) pairs.
+
+    The reference loads the n pairs one ``dataset[i]`` at a time
+    (distill.py:97-105) — at nq=500-1000 on a small host that is minutes
+    of sequential decode before the first step.  Items are fetched
+    through a thread pool instead (decode releases the GIL in both the
+    C++ fastimage path and PIL); ``ex.map`` preserves sample order.
+    Each item is fetched once (the reference indexes ``dataset[i]``
+    twice per pair — image then caption).
+    """
+    import concurrent.futures as cf
+
     rng = rng or np.random
     idx = rng.permutation(len(dataset))[:n]
-    images = np.stack([dataset[i][0] for i in idx])
-    captions = [dataset[i][1] for i in idx]
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+        items = list(ex.map(dataset.__getitem__, [int(i) for i in idx]))
+    images = np.stack([it[0] for it in items])
+    captions = [it[1] for it in items]
     texts = text_encoder.encode(captions)
     return images.astype(np.float32), texts.astype(np.float32)
 

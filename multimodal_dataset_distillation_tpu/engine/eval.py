@@ -76,10 +76,10 @@ def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test,
     return topk_score_matrix(sims, k_test), topk_score_matrix(sims.T, k_test)
 
 
-def epoch_test(testloader, model: VLBiEncoder, variables,
-               bert_test_embed: np.ndarray,
-               k_test: int = 128) -> Tuple[np.ndarray, np.ndarray]:
-    """Score matrices (i2t, t2i) for a test loader; see module docstring."""
+def _epoch_test_scores(testloader, model: VLBiEncoder, variables,
+                       bert_test_embed,
+                       k_test: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device score matrices (i2t, t2i); core of :func:`epoch_test`."""
 
     def encode(v, x):
         return _encode_image(model, v, x)
@@ -104,39 +104,126 @@ def epoch_test(testloader, model: VLBiEncoder, variables,
     # (COCO-scale: 5k x 25k both directions) and we're on real TPU
     use_pallas = (n_img * n_txt > 2_000_000
                   and jax.devices()[0].platform == "tpu")
-    i2t, t2i = _score_fn(model, variables, image_embeds,
-                         jnp.asarray(bert_test_embed), k_test, use_pallas)
+    return _score_fn(model, variables, image_embeds,
+                     jnp.asarray(bert_test_embed), k_test, use_pallas)
+
+
+def epoch_test(testloader, model: VLBiEncoder, variables,
+               bert_test_embed: np.ndarray,
+               k_test: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """Score matrices (i2t, t2i) for a test loader; see module docstring."""
+    i2t, t2i = _epoch_test_scores(testloader, model, variables,
+                                  bert_test_embed, k_test)
     return np.asarray(i2t), np.asarray(t2i)
 
 
-def itm_eval(scores_i2t: np.ndarray, scores_t2i: np.ndarray,
-             txt2img: Dict[int, int], img2txt: Dict[int, list]) -> Dict[str, float]:
-    """Rank-based retrieval metrics (epoch_original.py:114-161)."""
-    # Images -> Text
-    ranks = np.zeros(scores_i2t.shape[0])
-    for index, score in enumerate(scores_i2t):
-        inds = np.argsort(score)[::-1]
-        rank = min(np.where(inds == i)[0][0] for i in img2txt[index])
-        ranks[index] = rank
-    tr1 = 100.0 * np.sum(ranks < 1) / len(ranks)
-    tr5 = 100.0 * np.sum(ranks < 5) / len(ranks)
-    tr10 = 100.0 * np.sum(ranks < 10) / len(ranks)
+def _ranks_desc(scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Rank of ``targets[i]`` in ``np.argsort(scores[i])[::-1]``, vectorized.
 
-    # Text -> Images
-    ranks = np.zeros(scores_t2i.shape[0])
-    for index, score in enumerate(scores_t2i):
-        inds = np.argsort(score)[::-1]
-        ranks[index] = np.where(inds == txt2img[index])[0][0]
-    ir1 = 100.0 * np.sum(ranks < 1) / len(ranks)
-    ir5 = 100.0 * np.sum(ranks < 5) / len(ranks)
-    ir10 = 100.0 * np.sum(ranks < 10) / len(ranks)
+    The reference ranks each row with a Python-loop argsort
+    (epoch_original.py:117-129) — at COCO scale that is 25k single-row
+    argsorts per eval.  A reversed *stable* ascending argsort places
+    equal values in decreasing-index order, so the position of column
+    ``t`` is exactly ``#(s_i > s_t) + #(s_i == s_t and i > t)`` — one
+    broadcast pass, no sort.  Matches ``np.argsort(kind="stable")``
+    semantics exactly; the reference's default quicksort orders ties
+    arbitrarily, but ties only arise in the -100 block the top-k mask
+    creates, whose ranks are >= k_test (=128) — so for any k_test >= 10
+    the R@1/5/10 metrics are identical under every tie order."""
+    targets = np.asarray(targets)
+    s_t = np.take_along_axis(scores, targets[:, None], axis=1)
+    idx = np.arange(scores.shape[1])[None, :]
+    greater = (scores > s_t).sum(axis=1)
+    ties_after = ((scores == s_t) & (idx > targets[:, None])).sum(axis=1)
+    return greater + ties_after
 
+
+def candidate_table(img2txt: Dict[int, list], n_img: int) -> np.ndarray:
+    """(n_img, max_captions) padded candidate-column table, -1 padded."""
+    width = max(len(img2txt[i]) for i in range(n_img))
+    out = np.full((n_img, width), -1, np.int64)
+    for i in range(n_img):
+        c = np.asarray(img2txt[i], np.int64)
+        out[i, : len(c)] = c
+    return out
+
+
+def _metrics_from_ranks(tr_ranks: np.ndarray,
+                        ir_ranks: np.ndarray) -> Dict[str, float]:
+    tr1, tr5, tr10 = (100.0 * np.sum(tr_ranks < k) / len(tr_ranks)
+                      for k in (1, 5, 10))
+    ir1, ir5, ir10 = (100.0 * np.sum(ir_ranks < k) / len(ir_ranks)
+                      for k in (1, 5, 10))
     tr_mean = (tr1 + tr5 + tr10) / 3
     ir_mean = (ir1 + ir5 + ir10) / 3
     r_mean = (tr_mean + ir_mean) / 2
     return {"txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10,
             "txt_r_mean": tr_mean, "img_r1": ir1, "img_r5": ir5,
             "img_r10": ir10, "img_r_mean": ir_mean, "r_mean": r_mean}
+
+
+def itm_eval(scores_i2t: np.ndarray, scores_t2i: np.ndarray,
+             txt2img: Dict[int, int], img2txt: Dict[int, list]) -> Dict[str, float]:
+    """Rank-based retrieval metrics (epoch_original.py:114-161).
+
+    Vectorized: per-row ranks come from one broadcast comparison pass
+    (see :func:`_ranks_desc`) instead of the reference's O(rows) Python
+    argsort loop; the metric values are bit-identical."""
+    scores_i2t = np.asarray(scores_i2t)
+    scores_t2i = np.asarray(scores_t2i)
+    # Images -> Text: best (minimum) rank over each image's caption set
+    cands = candidate_table(img2txt, scores_i2t.shape[0])
+    tr_ranks = np.full(scores_i2t.shape[0], np.iinfo(np.int64).max)
+    for c in range(cands.shape[1]):
+        col = cands[:, c]
+        valid = col >= 0
+        r = _ranks_desc(scores_i2t[valid], col[valid])
+        tr_ranks[valid] = np.minimum(tr_ranks[valid], r)
+    # Text -> Images
+    ir_targets = np.asarray([txt2img[i] for i in range(scores_t2i.shape[0])])
+    ir_ranks = _ranks_desc(scores_t2i, ir_targets)
+    return _metrics_from_ranks(tr_ranks, ir_ranks)
+
+
+@jax.jit
+def _ranks_desc_device(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of :func:`_ranks_desc` (same tie-exact formula)."""
+    s_t = jnp.take_along_axis(scores, targets[:, None], axis=1)
+    idx = jnp.arange(scores.shape[1])[None, :]
+    greater = (scores > s_t).sum(axis=1)
+    ties_after = ((scores == s_t) & (idx > targets[:, None])).sum(axis=1)
+    return greater + ties_after
+
+
+@jax.jit
+def _tr_ranks_device(scores_i2t: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
+    """Min rank over each row's (-1 padded) candidate columns."""
+    big = jnp.iinfo(jnp.int32).max
+    out = jnp.full(scores_i2t.shape[0], big)
+    for c in range(cands.shape[1]):  # static, <= max captions per image
+        col = cands[:, c]
+        r = _ranks_desc_device(scores_i2t, jnp.maximum(col, 0))
+        out = jnp.minimum(out, jnp.where(col >= 0, r, big))
+    return out
+
+
+def retrieval_eval(testloader, model: VLBiEncoder, variables,
+                   bert_test_embed, k_test: int = 128) -> Dict[str, float]:
+    """epoch_test + itm_eval fused on device: encode, score, top-k mask,
+    and rank WITHOUT materializing the (n_img, n_txt)/(n_txt, n_img)
+    score matrices on the host — at COCO scale those are 2 x ~500 MB
+    host pulls per eval (the reason the fork rewrote this path,
+    epoch.py:103-215).  Only the two rank vectors cross to host.
+    Metrics are bit-identical to ``itm_eval(*epoch_test(...))``."""
+    i2t, t2i = _epoch_test_scores(testloader, model, variables,
+                                  bert_test_embed, k_test)
+    ds = testloader.dataset
+    cands = jnp.asarray(candidate_table(ds.img2txt, int(i2t.shape[0])))
+    ir_targets = jnp.asarray(
+        np.asarray([ds.txt2img[i] for i in range(int(t2i.shape[0]))]))
+    tr_ranks = np.asarray(_tr_ranks_device(i2t, cands))
+    ir_ranks = np.asarray(_ranks_desc_device(t2i, ir_targets))
+    return _metrics_from_ranks(tr_ranks, ir_ranks)
 
 
 def evaluate_synset(it_eval: int, model: VLBiEncoder, variables,
@@ -165,10 +252,8 @@ def evaluate_synset(it_eval: int, model: VLBiEncoder, variables,
         loss_avg, acc_avg = trainer.train_epoch_arrays(loader)
         acc_list.append(acc_avg)
         loss_list.append(loss_avg)
-    i2t, t2i = epoch_test(testloader, model, trainer.variables,
-                          bert_test_embed, cfg.k_test)
-    val_result = itm_eval(i2t, t2i, testloader.dataset.txt2img,
-                          testloader.dataset.img2txt)
+    val_result = retrieval_eval(testloader, model, trainer.variables,
+                                bert_test_embed, cfg.k_test)
     return trainer.variables, acc_list, val_result
 
 
@@ -185,9 +270,12 @@ def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
     eval axis is a vmapped leading dimension over parameters, optimizer
     traces, and batches (:class:`ParallelExpertTrainer`); on a mesh the K
     axis shards over ``data``.  Model ``j`` gets the init from
-    ``variables_list[j]`` and its own ``seed + j`` batch stream, matching
-    ``evaluate_synset(it_eval=j, ...)``; dropout key streams differ from
-    the sequential path (statistically equivalent, not bit-equal).
+    ``variables_list[j]``, its own ``seed + j`` batch stream, AND its own
+    ``seed + j`` dropout key chain — the same streams
+    ``evaluate_synset(it_eval=j, ...)`` consumes, so results are
+    RNG-parity with the sequential path (identical dropout masks and
+    batch order; only XLA's vmapped float schedule differs, at ulp
+    level).
 
     Returns ``(acc_lists, val_results)`` — lists of length ``num_eval``.
     """
@@ -198,7 +286,7 @@ def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
     trainer = ParallelExpertTrainer(
         model, list(variables_list), lr_img=float(cfg.lr_net),
         lr_txt=float(cfg.lr_net), momentum=0.9, weight_decay=5e-4,
-        seed=cfg.seed, mesh=mesh)
+        seeds=[cfg.seed + j for j in range(num_eval)], mesh=mesh)
     loaders = [ArrayPairLoader(images_train, texts_train,
                                batch_size=cfg.batch_train, shuffle=True,
                                seed=cfg.seed + j) for j in range(num_eval)]
@@ -210,8 +298,6 @@ def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
     val_results = []
     for j in range(num_eval):
         vs = trainer.variables_for(j)
-        i2t, t2i = epoch_test(testloader, model, vs, bert_test_embed,
-                              cfg.k_test)
-        val_results.append(itm_eval(i2t, t2i, testloader.dataset.txt2img,
-                                    testloader.dataset.img2txt))
+        val_results.append(retrieval_eval(testloader, model, vs,
+                                          bert_test_embed, cfg.k_test))
     return acc_lists, val_results

@@ -20,7 +20,7 @@ canonical order used by the distiller and the buffer codec
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -236,7 +236,8 @@ class ParallelExpertTrainer:
 
     def __init__(self, model: VLBiEncoder, variables_list: List[Dict], *,
                  lr_img: float, lr_txt: float, momentum: float = 0.0,
-                 weight_decay: float = 0.0, seed: int = 0, mesh=None):
+                 weight_decay: float = 0.0, seed: int = 0, mesh=None,
+                 seeds: Optional[Sequence[int]] = None):
         self.model = model
         self.k = len(variables_list)
         self.mesh = mesh
@@ -247,7 +248,18 @@ class ParallelExpertTrainer:
         params = self.variables["params"]
         self.opt_img = jax.vmap(self.tx_img.init)(params["image_encoder"])
         self.opt_txt = jax.vmap(self.tx_txt.init)(params["text_projection"])
-        self.rng = jax.random.PRNGKey(seed)
+        # ``seeds``: one seed per expert -> each lane carries the SAME
+        # key chain a sequential BiEncoderTrainer(seed=seeds[j]) would
+        # (split once per batch, use the second half as the dropout key),
+        # making vmapped results bit-comparable to K sequential runs.
+        # Legacy ``seed``: one shared chain split K ways per batch.
+        if seeds is not None:
+            assert len(seeds) == self.k
+            self.rngs = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+            self.rng = None
+        else:
+            self.rngs = None
+            self.rng = jax.random.PRNGKey(seed)
         self._step = self._build_step()
 
     def _shard(self, tree):
@@ -309,8 +321,14 @@ class ParallelExpertTrainer:
     def train_batch(self, images: np.ndarray, text_feats: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """images: (K, B, H, W, C); text_feats: (K, B, D)."""
-        self.rng, sub = jax.random.split(self.rng)
-        rngs = jax.random.split(sub, self.k)
+        if self.rngs is not None:
+            # per-expert chains, bit-matching BiEncoderTrainer.train_batch
+            pairs = jax.vmap(jax.random.split)(self.rngs)  # (K, 2, key)
+            self.rngs = pairs[:, 0]
+            rngs = pairs[:, 1]
+        else:
+            self.rng, sub = jax.random.split(self.rng)
+            rngs = jax.random.split(sub, self.k)
         (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
             self.variables, self.opt_img, self.opt_txt,
             jnp.asarray(images), jnp.asarray(text_feats), rngs)
@@ -323,6 +341,18 @@ class ParallelExpertTrainer:
         Device->host reads deferred to epoch end (dispatch pipelining)."""
         per = []
         for batches in zip(*loaders):
+            shapes = {np.shape(b[0])[0] for b in batches}
+            if len(shapes) != 1:
+                # all K loaders must agree on batch size at every step
+                # (they do when built over the same dataset/batch_size;
+                # a ragged mismatch would otherwise surface as an opaque
+                # np.stack error).  NB a shared partial FINAL batch is
+                # fine — it just costs one extra jit compile at that
+                # shape, like the sequential path.
+                raise ValueError(
+                    f"parallel expert loaders disagree on batch size: "
+                    f"{sorted(shapes)} — all {len(batches)} streams must "
+                    f"yield identically-shaped batches each step")
             images = np.stack([b[0] for b in batches])
             texts = np.stack([caption_to_embed(b[1]) for b in batches])
             loss, acc = self.train_batch(images, texts)

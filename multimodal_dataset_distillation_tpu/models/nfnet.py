@@ -31,6 +31,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from multimodal_dataset_distillation_tpu.models.layers import (
     DropPath,
@@ -177,6 +178,11 @@ class NormFreeNet(nn.Module):
             x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2), name="stem_conv")(x)
         else:
             raise ValueError(cfg.stem_type)
+        # stage boundaries are tagged for jax.checkpoint's
+        # save_only_these_names policy (cfg.fr_remat="names" in the
+        # distillation meta-backward): identity unless a surrounding
+        # jax.checkpoint selects them as the only saved activations
+        x = checkpoint_name(x, "nf_stem_out")
 
         # ---- stages ----
         total_blocks = sum(cfg.depths)
@@ -196,6 +202,7 @@ class NormFreeNet(nn.Module):
                     expected_std = 1.0
                 expected_std = (expected_std ** 2 + cfg.alpha ** 2) ** 0.5
                 block_idx += 1
+                x = checkpoint_name(x, f"nf_stage{si}_block{bi}_out")
 
         # ---- head ----
         if cfg.num_features:
@@ -208,8 +215,23 @@ class NormFreeNet(nn.Module):
         return nn.Dense(cfg.num_classes, name="head")(x)
 
 
+# CI-sized NFNet: same block anatomy as nfnet_l0 (deep_quad stem, grouped
+# 3x3 + extra conv, SE, skipinit, silu) at toy width/depth — used by the
+# NFNet-architecture reference-parity harness and CPU perf-knob tests.
+NF_TINY = NfConfig(
+    depths=(1, 2), channels=(32, 64),
+    stem_type="deep_quad", stem_chs=16, group_size=8, bottle_ratio=0.5,
+    extra_conv=True, num_features=128, act="silu", attn_rd_ratio=0.25,
+    skipinit=True, drop_path_rate=0.0,
+)
+
+
 def nfnet_l0(num_classes: int = 0) -> NormFreeNet:
     return NormFreeNet(dataclasses.replace(NFNET_L0, num_classes=num_classes))
+
+
+def nf_tiny(num_classes: int = 0) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NF_TINY, num_classes=num_classes))
 
 
 def nf_resnet50(num_classes: int = 1000) -> NormFreeNet:

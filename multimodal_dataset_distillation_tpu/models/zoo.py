@@ -35,6 +35,8 @@ IMAGE_FEATURE_DIMS = {
     "resnet18_gn": 512,
     "convnet": 768,
     "convnet_tiny": 64,
+    # CI-sized NFNet (same block anatomy as nfnet_l0 at toy width)
+    "nf_tiny": 128,
     # OpenAI CLIP ViT-B/32 encode_image is 512-d (networks.py:659-661,
     # 679-680; the reference's else-branch "1000" at networks.py:819 is a
     # latent bug — see models/clip_vision.py)
@@ -50,6 +52,8 @@ def _build(name: str, transfer: bool = False) -> nn.Module:
         return _nfnet.nfnet_l0(num_classes=1000 if transfer else 0)
     if name in ("vit", "vit_tiny"):
         return _vit.vit_tiny_patch16_224(num_classes=1000)
+    if name == "nf_tiny":
+        return _nfnet.nf_tiny(num_classes=0)
     if name == "nf_resnet50":
         return _nfnet.nf_resnet50(num_classes=1000)
     if name == "nf_regnet":

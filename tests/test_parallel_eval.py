@@ -55,6 +55,25 @@ def test_parallel_eval_matches_sequential_structure():
     assert results[0] != results[1] or accs[0] != accs[1]
 
 
+def test_parallel_eval_rng_parity_with_sequential():
+    """Per-model streams (dropout chain, batch order) now bit-match
+    ``evaluate_synset(it_eval=j)``; end states agree to float tolerance
+    (only XLA's vmapped scheduling differs)."""
+    cfg, model, var_list, images, texts, testloader, bert_test = _setup(2)
+    seq = []
+    for j in range(2):
+        _, acc, val = evaluate_synset(j, model, var_list[j], images, texts,
+                                      testloader, cfg, bert_test)
+        seq.append((acc, val))
+    accs, results = evaluate_synset_parallel(
+        2, model, var_list, images, texts, testloader, cfg, bert_test)
+    for j in range(2):
+        np.testing.assert_allclose(accs[j], seq[j][0], rtol=1e-4, atol=1e-5)
+        for k in seq[j][1]:
+            np.testing.assert_allclose(results[j][k], seq[j][1][k],
+                                       atol=1e-6, err_msg=k)
+
+
 def test_parallel_eval_under_mesh():
     """num_eval=8 synset evaluations sharded over an 8-device mesh."""
     from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
