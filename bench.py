@@ -34,6 +34,22 @@ published eager-PyTorch double-backward workloads sustain well under
 that; at a realistic 15% MFU the baseline is 0.24 steps/s and the
 current single-chip number already clears 3x.  We keep the conservative
 denominator.
+
+Multi-chip (v5e-8) mode — ``BENCH_MESH=8 python bench.py``:
+Runs the IDENTICAL headline step sharded over an 8-device ("data",)
+mesh: inner minibatches split 100 -> 12.5/device is not integral, so the
+sharded config uses mini_batch_size=96 (12/device) with nq=96 — noted in
+the output unit.  Synthetic state, its meta-gradients, and outer
+momentum shard over the query axis (shard_syn); flat students and
+expert-segment slices replicate; XLA psums the inner param grads over
+ICI.  Expected scaling: the step is HBM-bound (DESIGN.md §10), per-chip
+conv traffic drops ~8x while the psum adds ~2 x 170 MB of ICI traffic
+per inner step (~2 ms at 186 GB/s/link, fully overlappable) -> near-
+linear, ~6.5-7.5x predicted.  On a host with fewer real chips this
+falls back to N virtual CPU devices: correctness/compile validation
+only, vs_baseline=null, and the printed value must NOT be read as TPU
+throughput (no fake perf numbers).  This is the exact command to run
+when a v5e-8 slice is attached.
 """
 
 import json
@@ -62,9 +78,40 @@ def main():
     from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
     from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
 
+    # BENCH_MESH=N: shard the headline step over an N-device data mesh
+    # (real chips when available, else N virtual CPU devices for
+    # correctness-only validation — see module docstring)
+    mesh_n = int(os.environ.get("BENCH_MESH", "0"))
+    virtual_mesh = False
+    if mesh_n and len(jax.devices()) < mesh_n:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.config.update("jax_num_cpu_devices", mesh_n)
+        jax.config.update("jax_platforms", "cpu")
+        virtual_mesh = True
+
     # scale down automatically on CPU so the bench is runnable anywhere
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
+    if mesh_n and on_tpu:
+        # real multi-chip: the headline step with the query/minibatch
+        # dims rounded to shard evenly (100 -> 96 over 8 devices)
+        nq = (100 // mesh_n) * mesh_n
+        cfg = Config(image_encoder="nfnet", image_size=224, num_queries=nq,
+                     syn_steps=8, mini_batch_size=nq, expert_epochs=1,
+                     lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
+                     lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0,
+                     inner_dtype="bfloat16", scan_unroll=8,
+                     hvp_mode="forward")
+        iters, warmup = 10, 2
+    elif mesh_n:
+        # virtual CPU mesh: correctness/compile validation only
+        cfg = Config(image_encoder="convnet_tiny", image_size=32,
+                     num_queries=2 * mesh_n, syn_steps=4,
+                     mini_batch_size=mesh_n,
+                     lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
+        iters, warmup = 3, 1
+    elif on_tpu:
         # inner_dtype=bfloat16 is the mixed-precision production config
         # (f32 flat params + meta-grad accumulation, bf16 tower compute) —
         # the analog of the fork reference's AMP epoch (epoch.py:59-98).
@@ -107,6 +154,8 @@ def main():
         cfg = cfg.replace(fr_remat=os.environ["BENCH_FR_REMAT"])
     if os.environ.get("BENCH_FR_RESID"):
         cfg = cfg.replace(fr_resid_dtype=os.environ["BENCH_FR_RESID"])
+    if os.environ.get("BENCH_FR_BWD"):
+        cfg = cfg.replace(fr_bwd=os.environ["BENCH_FR_BWD"])
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
 
@@ -117,7 +166,15 @@ def main():
                           3).astype(np.float32)
     text_syn = rng.randn(cfg.num_queries, 768).astype(np.float32)
 
-    d = Distiller(cfg, model, variables, image_syn, text_syn)
+    mesh = None
+    if mesh_n:
+        from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh((mesh_n,), ("data",))
+        print(f"mesh: {dict(mesh.shape)} "
+              f"({'virtual CPU' if virtual_mesh else 'real'})",
+              file=sys.stderr)
+    d = Distiller(cfg, model, variables, image_syn, text_syn, mesh=mesh)
     img_flat, _ = flatten_params(variables["params"]["image_encoder"])
     txt_flat, _ = flatten_params(variables["params"]["text_projection"])
     img_th0 = np.asarray(img_flat)
@@ -164,11 +221,22 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
+    if mesh_n and virtual_mesh:
+        unit = (f"outer distill steps/sec ({mesh_n}-device VIRTUAL CPU "
+                f"mesh, correctness only — not TPU throughput)")
+    elif mesh_n:
+        unit = (f"outer distill steps/sec (nfnet_l0+bert, "
+                f"nq={cfg.num_queries}, syn_steps=8, "
+                f"mb={cfg.mini_batch_size}, {mesh_n}-chip data mesh)")
+    elif on_tpu:
+        unit = ("outer distill steps/sec (nfnet_l0+bert, nq=100, "
+                "syn_steps=8, mb=100)")
+    else:
+        unit = "outer distill steps/sec (CPU-scaled config)"
     result = {
         "metric": "distill_steps_per_sec",
         "value": round(steps_per_sec, 4),
-        "unit": "outer distill steps/sec (nfnet_l0+bert, nq=100, syn_steps=8, mb=100)"
-                if on_tpu else "outer distill steps/sec (CPU-scaled config)",
+        "unit": unit,
         "vs_baseline": round(steps_per_sec / A100_REF_STEPS_PER_SEC, 3)
                        if on_tpu else None,
     }

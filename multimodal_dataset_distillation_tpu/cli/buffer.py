@@ -148,6 +148,17 @@ def main(cfg: Config) -> List[int]:
     for it in expert_ids:
         model = build_bi_encoder(cfg)
         variables = init_bi_encoder(model, cfg.replace(seed=cfg.seed + it))
+        if cfg.image_pretrained:
+            # the reference's timm pretrained=... (networks.py:666);
+            # offline: import from a local checkpoint when one exists
+            from multimodal_dataset_distillation_tpu.models.import_torch import (
+                maybe_load_pretrained_image_tower,
+            )
+
+            variables, ckpt = maybe_load_pretrained_image_tower(
+                variables, cfg.image_encoder)
+            if ckpt:
+                print(f"Loaded pretrained image tower from {ckpt}")
         trainer = BiEncoderTrainer(
             model, variables, lr_img=cfg.lr_teacher_img,
             lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,

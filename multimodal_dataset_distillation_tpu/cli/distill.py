@@ -172,6 +172,37 @@ def main(cfg: Config):
     eval_it_pool = set(np.arange(0, cfg.Iteration + 1, cfg.eval_it).tolist())
     history = []
 
+    # eval students start from pretrained towers exactly like the
+    # reference's CLIPModel_full(args) eval nets (networks.py:666 via
+    # epoch_original.py:164); offline import from a local timm checkpoint
+    # when one exists, random init otherwise
+    _eval_sd = None
+    if cfg.image_pretrained:
+        from multimodal_dataset_distillation_tpu.models.import_torch import (
+            find_local_timm_checkpoint,
+        )
+
+        _ckpt = find_local_timm_checkpoint(cfg.image_encoder)
+        if _ckpt:
+            import torch as _torch
+
+            _eval_sd = _torch.load(_ckpt, map_location="cpu",
+                                   weights_only=True)
+            if isinstance(_eval_sd, dict) and "state_dict" in _eval_sd:
+                _eval_sd = _eval_sd["state_dict"]
+            print(f"Eval students use pretrained image tower: {_ckpt}")
+
+    def _eval_init(eval_model, eval_cfg, seed):
+        v = init_bi_encoder(eval_model, eval_cfg.replace(seed=seed))
+        if _eval_sd is not None:
+            from multimodal_dataset_distillation_tpu.models.import_torch import (
+                load_image_tower_weights,
+            )
+
+            v = load_image_tower_weights(v, _eval_sd,
+                                         arch=cfg.image_encoder)
+        return v
+
     # ---- mid-run resume (SURVEY.md §5.4 gap in the reference) ----
     from multimodal_dataset_distillation_tpu.engine.checkpoint import (
         load_distill_checkpoint,
@@ -247,8 +278,7 @@ def main(cfg: Config):
                 )
 
                 var_list = [
-                    init_bi_encoder(eval_model, eval_cfg.replace(
-                        seed=cfg.seed + 1000 + j))
+                    _eval_init(eval_model, eval_cfg, cfg.seed + 1000 + j)
                     for j in range(cfg.num_eval)]
                 eval_mesh = (mesh if mesh is not None
                              and cfg.num_eval % mesh.shape.get("data", 1) == 0
@@ -263,9 +293,8 @@ def main(cfg: Config):
                         logger.log(val, step=it)
             else:
                 for it_eval in range(cfg.num_eval):
-                    eval_vars = init_bi_encoder(
-                        eval_model,
-                        eval_cfg.replace(seed=cfg.seed + 1000 + it_eval))
+                    eval_vars = _eval_init(eval_model, eval_cfg,
+                                           cfg.seed + 1000 + it_eval)
                     _, acc, val = evaluate_synset(
                         it_eval, eval_model, eval_vars, img_eval, txt_eval,
                         testloader, eval_cfg, bert_test_embed)

@@ -185,6 +185,14 @@ class Config:
     #     weight-shaped matmul operands.  Bit-exact (scheduling only).
     fr_resid_dtype: str = "carry"        # carry | inner
     fr_remat: str = "none"               # none | full | names | dots_no_batch
+    # orientation of the second-order transform in the forward-HVP
+    # backward (identical math — symmetry of second derivatives):
+    #   "rof": grad of the directional derivative (reverse-over-forward);
+    #          retains the doubled primal+tangent graph before
+    #          transposing (deep memory peak)
+    #   "for": jvp through grad(closs) (forward-over-reverse); tangents
+    #          stream with the primal gradient — flatter peak
+    fr_bwd: str = "rof"                  # rof | for
     # what the inner-unroll scan carries (engine/distill.py):
     #   "flat": buffer-format flat param vectors — one carry buffer per
     #           modality, XLA aliases updates across a fully-unrolled

@@ -327,6 +327,22 @@ class Distiller:
             return out, (lr_i, lr_t, x, y, _resid_pack(thi), _resid_pack(tht),
                          ki, kt, _resid_pack(gi), _resid_pack(gt))
 
+        # --fr_bwd: orientation of the second-order transform in the
+        # custom-VJP backward.  Both compute the identical quantities —
+        # the Hessian actions and mixed terms are second derivatives of
+        # one scalar, symmetric in differentiation order:
+        #   "rof" (reverse-over-forward): grad of the directional
+        #     derivative h = d/de closs(th + e*v).  The grad retains the
+        #     whole doubled (primal+tangent) activation graph before
+        #     transposing it — the 4-deep transpose(jvp(...)) nesting
+        #     that sets the 15.6 GB temp peak (DESIGN.md §10).
+        #   "for" (forward-over-reverse): jvp THROUGH grad(closs).
+        #     Forward-mode adds no second retained graph — tangents
+        #     stream in lockstep with the (fwd+bwd) primal — so the peak
+        #     is ~the plain gradient's.  x/y/lr tangents are literal
+        #     zeros, which XLA's algebraic simplifier folds away.
+        fr_bwd_mode = getattr(cfg, "fr_bwd", "rof")
+
         def fr_core_bwd(res, cot):
             lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt = res
             ybi, ybt = cot
@@ -336,21 +352,33 @@ class Distiller:
             vi = _tmap(lambda b: lr_i * b, ybi)
             vt = _tmap(lambda b: lr_t * b, ybt)
 
-            def h_fn(thi_, tht_, x_, y_, lr_i_):
-                # tangents only on (thi, tht): x/y/lr ride in by closure,
-                # so no zero-tangent JVP is propagated through the towers
-                _, dh = jax.jvp(
-                    lambda a, b: closs_fr(a, b, x_, y_, lr_i_, ki, kt),
-                    (thi_, tht_), (vi, vt))
-                return dh
+            if fr_bwd_mode == "for":
+                def grad_all(thi_, tht_, x_, y_, lr_i_):
+                    return jax.grad(closs_fr, argnums=(0, 1, 2, 3, 4))(
+                        thi_, tht_, x_, y_, lr_i_, ki, kt)
 
-            hg = jax.grad(h_fn, argnums=(0, 1, 2, 3, 4))(
-                thi, tht, x, y, lr_i)
-            dthi = _tmap(lambda b, h: b - h, ybi, hg[0])
-            dtht = _tmap(lambda b, h: b - h, ybt, hg[1])
-            dx = -hg[2]
-            dy = -hg[3]
-            dlr_i = -_tvdot(gi, ybi) - hg[4]
+                _, tang = jax.jvp(
+                    grad_all, (thi, tht, x, y, lr_i),
+                    (vi, vt, jnp.zeros_like(x), jnp.zeros_like(y),
+                     jnp.zeros_like(lr_i)))
+                hgi, hgt, hx, hy, hlr = tang
+            else:
+                def h_fn(thi_, tht_, x_, y_, lr_i_):
+                    # tangents only on (thi, tht): x/y/lr ride in by
+                    # closure, so no zero-tangent JVP is propagated
+                    # through the towers
+                    _, dh = jax.jvp(
+                        lambda a, b: closs_fr(a, b, x_, y_, lr_i_, ki, kt),
+                        (thi_, tht_), (vi, vt))
+                    return dh
+
+                hgi, hgt, hx, hy, hlr = jax.grad(
+                    h_fn, argnums=(0, 1, 2, 3, 4))(thi, tht, x, y, lr_i)
+            dthi = _tmap(lambda b, h: b - h, ybi, hgi)
+            dtht = _tmap(lambda b, h: b - h, ybt, hgt)
+            dx = -hx
+            dy = -hy
+            dlr_i = -_tvdot(gi, ybi) - hlr
             dlr_t = -_tvdot(gt, ybt)
             return (dlr_i, dlr_t, dx, dy, dthi, dtht,
                     _float0_zeros(ki), _float0_zeros(kt))

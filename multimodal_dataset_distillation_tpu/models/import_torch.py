@@ -213,3 +213,58 @@ def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
 
     merge(template, mapped)
     return new_vars
+
+
+# timm checkpoint filenames as they land in the torch-hub cache when the
+# reference runs `timm.create_model(..., pretrained=True)`
+# (networks.py:666-672)
+_TIMM_CKPT_NAMES = {
+    "nfnet": ("nfnet_l0_ra2-45c6688d.pth",),
+    "nf_resnet50": ("nf_resnet50_ra2-9f236009.pth",),
+    "nf_regnet": ("nf_regnet_b1_256_ra2-ad85cfef.pth",),
+}
+
+
+def find_local_timm_checkpoint(arch: str) -> "str | None":
+    """Path of a locally available timm checkpoint for ``arch``, or None.
+
+    Search order: ``$MDD_TIMM_CKPT_<ARCH>``, ``$MDD_TIMM_CKPT``, then the
+    torch-hub cache (``~/.cache/torch/hub/checkpoints``) under the known
+    timm filenames.  Zero-egress friendly: nothing is ever downloaded.
+    """
+    import os
+
+    for env in (f"MDD_TIMM_CKPT_{arch.upper()}", "MDD_TIMM_CKPT"):
+        p = os.environ.get(env)
+        if p and os.path.exists(p):
+            return p
+    hub = os.path.join(os.path.expanduser("~"), ".cache", "torch", "hub",
+                       "checkpoints")
+    for name in _TIMM_CKPT_NAMES.get(arch, ()):
+        p = os.path.join(hub, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def maybe_load_pretrained_image_tower(variables: Dict[str, Any],
+                                      arch: str) -> "tuple[Dict[str, Any], str | None]":
+    """Replace the image tower with local timm weights when available.
+
+    The reference builds its towers with ``pretrained=args.image_pretrained``
+    (networks.py:666); offline TPU hosts have no network, so this loads
+    from a local file only (:func:`find_local_timm_checkpoint`) and falls
+    back to the existing (random) init when none exists.  Returns
+    ``(variables, checkpoint_path_or_None)``.
+    """
+    if arch not in _TIMM_CKPT_NAMES:
+        return variables, None
+    path = find_local_timm_checkpoint(arch)
+    if path is None:
+        return variables, None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return load_image_tower_weights(variables, sd, arch=arch), path

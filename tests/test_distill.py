@@ -266,14 +266,14 @@ def test_single_modality_distillation(mode):
 
 
 def _tiny_setup_hvp(hvp_mode, inner_scale, dtype=np.float64,
-                    carry_mode="flat"):
+                    carry_mode="flat", **cfg_kw):
     cfg = Config(
         image_encoder="convnet_tiny", image_size=16,
         num_queries=8, syn_steps=3, mini_batch_size=4,
         lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
         lr_teacher_img=0.05, lr_teacher_txt=0.05,
         inner_scale=inner_scale, inner_dtype="float64",
-        hvp_mode=hvp_mode, carry_mode=carry_mode, seed=0)
+        hvp_mode=hvp_mode, carry_mode=carry_mode, seed=0, **cfg_kw)
     model = VLBiEncoder(image_encoder_name="convnet_tiny",
                         text_embedding=768, image_embedding=64)
     variables = init_bi_encoder(model, cfg)
@@ -312,6 +312,33 @@ def test_hvp_forward_matches_reverse(inner_scale):
                 jnp.asarray(tt), idx, keys)
             grads[mode] = [np.asarray(x) for x in g]
         for a, b, name in zip(grads["reverse"], grads["forward"],
+                              ("pixels", "texts", "lr_img", "lr_txt")):
+            np.testing.assert_allclose(
+                a, b, rtol=1e-9, atol=1e-12,
+                err_msg=f"{name} grad mismatch (inner_scale={inner_scale})")
+
+
+@pytest.mark.parametrize("inner_scale", ["fixed", "syn_lr"])
+def test_fr_bwd_for_matches_rof(inner_scale):
+    """fr_bwd="for" (jvp-through-grad, forward-over-reverse) must produce
+    THE SAME meta-gradients as the default "rof" (grad-of-jvp) — the two
+    orientations of the same second derivative (symmetry of mixed
+    partials).  float64, dropout active."""
+    with jax.enable_x64():
+        grads = {}
+        for mode in ("rof", "for"):
+            cfg, d, i0, t0, it, tt = _tiny_setup_hvp(
+                "forward", inner_scale, fr_bwd=mode)
+            idx = jnp.asarray(d.sample_indices(np.random.RandomState(1)))
+            keys = jax.random.split(jax.random.PRNGKey(7), cfg.syn_steps)
+            loss_f = lambda *a: d.grand_loss(*a)[0]
+            g = jax.grad(loss_f, argnums=(0, 1, 2, 3))(
+                d.state.image_syn, d.state.text_syn,
+                d.state.syn_lr_img, d.state.syn_lr_txt,
+                jnp.asarray(i0), jnp.asarray(t0), jnp.asarray(it),
+                jnp.asarray(tt), idx, keys)
+            grads[mode] = [np.asarray(x) for x in g]
+        for a, b, name in zip(grads["rof"], grads["for"],
                               ("pixels", "texts", "lr_img", "lr_txt")):
             np.testing.assert_allclose(
                 a, b, rtol=1e-9, atol=1e-12,

@@ -1,0 +1,192 @@
+"""Launch-readiness fixture (round-2 VERDICT item 5): fabricate a
+Flickr-*shaped* dataset on disk — real JPEG files + BLIP-format annotation
+JSONs named exactly like ``/root/reference/Flickr30k/ann_file/`` — plus a
+timm-format NFNet checkpoint, and drive the REAL ``buffer.py`` ->
+``distill.py`` CLI flow through the JSON/JPEG/timm-import code paths
+end-to-end (the paths the synthetic dataset bypasses).
+
+On the real-data day the exact BASELINE #1 command line is this, with real
+paths and full size::
+
+  python buffer.py  --dataset=flickr --image_encoder=nfnet \
+      --text_encoder=bert --image_size=224 --num_experts=1 \
+      --train_epochs=1 --image_root=<flickr-images> --ann_root=<ann_file> \
+      --buffer_path=./buffers
+  python distill.py --dataset=flickr --image_encoder=nfnet ... \
+      --num_queries=100 --syn_steps=8 --expert_epochs=1 \
+      --lr_img=1000 --lr_txt=1000
+
+CI runs the same flow with ``nf_tiny`` towers at 64px so it finishes on a
+1-core host; ``MDD_FIXTURE_FULL=1`` switches to nfnet@224 (the literal
+headline command).  Reference formats: ``data/flickr30k_dataset.py:38-128``
+(annotations), ``networks.py:666`` (timm checkpoint).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+FULL = os.environ.get("MDD_FIXTURE_FULL") == "1"
+ENCODER = "nfnet" if FULL else "nf_tiny"
+SIZE = 224 if FULL else 64
+N_TRAIN, N_TEST = 8, 4
+
+
+@pytest.fixture(scope="module")
+def flickr_fixture(tmp_path_factory):
+    """(image_root, ann_root, timm_ckpt_path) with fabricated contents."""
+    root = tmp_path_factory.mktemp("flickr_fixture")
+    img_dir = root / "flickr30k-images"
+    ann_dir = root / "ann_file"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(N_TRAIN):
+        name = f"{1000 + i}.jpg"
+        arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / name, quality=90)
+        names.append(name)
+
+    # BLIP-format train JSON: [{"image", "caption", "image_id"}, ...]
+    train = [{"image": n,
+              "caption": f"A photo number {i} of a fabricated scene!",
+              "image_id": n.split(".")[0]}
+             for i, n in enumerate(names)]
+    (ann_dir / "flickr30k_train.json").write_text(json.dumps(train))
+    # val/test JSON: [{"image", "caption": [5 strings]}, ...]
+    for split, chunk in (("val", names[:N_TEST]), ("test", names[:N_TEST])):
+        ev = [{"image": n,
+               "caption": [f"caption {k} for image {i}" for k in range(5)]}
+              for i, n in enumerate(chunk)]
+        (ann_dir / f"flickr30k_{split}.json").write_text(json.dumps(ev))
+
+    # timm-format checkpoint fabricated from a fresh Flax init (real
+    # shapes/naming for the chosen arch)
+    import jax
+
+    from multimodal_dataset_distillation_tpu.models.import_torch import (
+        nfnet_params_to_timm,
+    )
+    from multimodal_dataset_distillation_tpu.models import nfnet as _nf
+
+    nf_cfg = _nf.NFNET_L0 if FULL else _nf.NF_TINY
+    m = _nf.NormFreeNet(nf_cfg)
+    params = m.init(jax.random.PRNGKey(7),
+                    np.zeros((1, SIZE, SIZE, 3), np.float32))["params"]
+    sd = nfnet_params_to_timm(params, depths=nf_cfg.depths, stem_convs=4)
+    ckpt = root / "fabricated_timm_ckpt.pth"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, ckpt)
+    return str(img_dir), str(ann_dir), str(ckpt), sd
+
+
+def _common_flags(img_root, ann_root, buffer_path):
+    return [
+        "--dataset=flickr", f"--image_encoder={ENCODER}",
+        "--text_encoder=bert", "--text_encoder_config=tiny",
+        f"--image_size={SIZE}", f"--image_root={img_root}",
+        f"--ann_root={ann_root}", f"--buffer_path={buffer_path}",
+        "--batch_size_train=4", "--batch_size_test=4", "--num_workers=2",
+    ]
+
+
+def test_launch_flow_buffer_then_distill(flickr_fixture, tmp_path,
+                                         monkeypatch):
+    img_root, ann_root, ckpt, sd = flickr_fixture
+    monkeypatch.chdir(tmp_path)  # npz text caches land in CWD
+    monkeypatch.setenv(f"MDD_TIMM_CKPT_{ENCODER.upper()}", ckpt)
+    # route the env override through the finder for non-flagship arches too
+    from multimodal_dataset_distillation_tpu.models import import_torch as it
+
+    monkeypatch.setitem(it._TIMM_CKPT_NAMES, ENCODER,
+                        it._TIMM_CKPT_NAMES.get(ENCODER, ()))
+
+    from multimodal_dataset_distillation_tpu.cli import buffer as buffer_cli
+    from multimodal_dataset_distillation_tpu.cli import distill as distill_cli
+    from multimodal_dataset_distillation_tpu.config import parse_config
+
+    buf = tmp_path / "buffers"
+    # ---- phase 1: the real buffer.py flow over JSON/JPEG data ----
+    cfg = parse_config(_common_flags(img_root, ann_root, str(buf)) + [
+        "--num_experts=1", "--train_epochs=1",
+        "--lr_teacher_img=0.05", "--lr_teacher_txt=0.05",
+        "--disable_wandb",
+    ])
+    if ENCODER == "nf_tiny":
+        # nf_tiny mirrors nfnet_l0's block anatomy; the timm import path
+        # is identical modulo depths
+        monkeypatch.setattr(
+            it, "_TIMM_CKPT_NAMES",
+            {**it._TIMM_CKPT_NAMES, "nf_tiny": ("unused.pth",)})
+        monkeypatch.setattr(
+            it, "load_image_tower_weights",
+            lambda v, s, arch: _load_tiny(v, s))
+    buffer_cli.main(cfg)
+
+    sub = buf / "flickr" / ENCODER / "bert"
+    pts = sorted(p.name for p in sub.glob("img_replay_buffer_*.pt"))
+    assert pts, f"no buffers written under {sub}"
+
+    # the pretrained import actually flowed: snapshot 0 == fabricated ckpt
+    payload = torch.load(sub / pts[0], map_location="cpu",
+                         weights_only=False)
+    snap0 = [np.asarray(t) for t in payload[0][0]]
+    flat0 = np.concatenate([x.ravel() for x in snap0])
+    want = np.concatenate([np.asarray(v).ravel() for v in sd.values()])
+    assert flat0.size == want.size
+    np.testing.assert_allclose(np.sort(np.abs(flat0))[-5:],
+                               np.sort(np.abs(want))[-5:], rtol=1e-6,
+                               err_msg="expert init != imported checkpoint")
+
+    # ---- phase 2: the real distill.py flow against those buffers ----
+    dcfg = parse_config(_common_flags(img_root, ann_root, str(sub)) + [
+        "--num_queries=4", "--mini_batch_size=2", "--syn_steps=2",
+        "--expert_epochs=1", "--max_start_epoch=1", "--Iteration=2",
+        "--eval_it=2", "--num_eval=1", "--epoch_eval_train=1",
+        "--batch_train=2", "--lr_img=10", "--lr_txt=10", "--lr_lr=0.001",
+        f"--save_dir={tmp_path / 'logged'}", "--disable_wandb",
+    ])
+    distiller, history = distill_cli.main(dcfg)
+    assert distiller.nan_bailout_it is None
+    assert history and all(
+        np.isfinite(v) for _, res in history for r in res for v in r.values())
+    # artifacts: distilled tensors + grids + sentences
+    run_dirs = list((tmp_path / "logged" / "flickr").iterdir())
+    assert run_dirs
+    arts = {p.name.split("_")[0] for p in run_dirs[0].iterdir()}
+    assert "distilled" in arts and "synthetic" in arts
+
+
+def _load_tiny(variables, sd):
+    """nf_tiny-shaped timm import (depths (1,2)); same mapper as nfnet."""
+    from multimodal_dataset_distillation_tpu.models.import_torch import (
+        nfnet_params_from_timm,
+    )
+    import copy
+
+    mapped = nfnet_params_from_timm(sd, depths=(1, 2), stem_convs=4,
+                                    extra_conv=True, has_se=True,
+                                    has_skipinit=True, has_final_conv=True)
+    new_vars = copy.deepcopy(dict(variables))
+    tower = new_vars["params"]["image_encoder"]
+    inner = tower[next(iter(tower))]
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                assert np.asarray(dst[k]).shape == np.asarray(v).shape, k
+                dst[k] = np.asarray(v, np.asarray(dst[k]).dtype)
+
+    merge(inner, mapped)
+    return new_vars
