@@ -140,7 +140,12 @@ class Config:
     # expert-phase compute dtype ("bfloat16" = the fork's AMP epoch,
     # epoch.py:59-98, in TPU form: in-graph casts, f32 master params)
     train_dtype: str = "float32"
-    # jax.checkpoint each inner step (memory/time tradeoff for long unrolls)
+    # jax.checkpoint each inner step (memory/time tradeoff for long
+    # unrolls).  NB the four remat_* knobs below apply ONLY to
+    # hvp_mode="reverse" (the custom forward-HVP VJP replaces remat; its
+    # own memory dials are fr_remat/fr_resid_dtype/fr_bwd).  They are
+    # kept because reverse mode remains the cross-check path and the
+    # only mode where JAX's default reverse-over-reverse is exercised.
     remat_inner: bool = True
     # checkpoint every N inner steps instead of every step (N must divide
     # syn_steps; larger N = more memory, less recompute)

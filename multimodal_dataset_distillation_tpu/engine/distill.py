@@ -44,7 +44,10 @@ import optax
 
 from multimodal_dataset_distillation_tpu.config import Config
 from multimodal_dataset_distillation_tpu.models.clip_model import VLBiEncoder
-from multimodal_dataset_distillation_tpu.ops.contrastive import RAW_LOG_SCALE
+from multimodal_dataset_distillation_tpu.ops.contrastive import (
+    RAW_LOG_SCALE,
+    _symmetric_ce as _sym_ce,
+)
 from multimodal_dataset_distillation_tpu.utils.flat import make_unravel
 
 
@@ -57,16 +60,6 @@ class DistillState:
     opt_img: Any
     opt_txt: Any
     opt_lr: Any
-
-
-def _sym_ce(logits: jnp.ndarray) -> jnp.ndarray:
-    n = logits.shape[0]
-    labels = jnp.arange(n)
-    li = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, 1),
-                                       labels[:, None], 1))
-    lt = -jnp.mean(jnp.take_along_axis(jax.nn.log_softmax(logits, 0),
-                                       labels[None, :], 0))
-    return (li + lt) / 2.0
 
 
 class Distiller:

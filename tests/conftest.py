@@ -5,8 +5,17 @@ of testing multi-node without a cluster).
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Isolate the persistent compile cache per test run: CLI-driving tests
+# call setup_compilation_cache(), and sharing ~/.cache/mdd_tpu/xla with
+# a concurrently-running TPU job has produced a native crash in the
+# cache writer (observed: segfault in put_executable_and_time while the
+# bench process wrote the same directory).  A throwaway dir keeps the
+# coverage and removes the cross-process collision.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      tempfile.mkdtemp(prefix="mdd_test_xla_cache_"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

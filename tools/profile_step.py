@@ -118,6 +118,35 @@ def report(out_dir: str, n_steps: int = 2):
     for src, us in by_src.most_common(12):
         print(f"{us/k/1e3:8.1f} ms  {src}")
 
+    # per-kernel breakdown of the dominant category: which conv fusions
+    # run fast/slow (achieved GB/s), keyed by op name (kernel identity)
+    by_op_t = collections.Counter()
+    by_op_b = collections.Counter()
+    by_op_n = collections.Counter()
+    op_meta = {}
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") == 3
+                and e.get("tid") in opthreads):
+            a = e.get("args", {})
+            if a.get("hlo_category", "") not in (
+                    "convolution", "convolution fusion", "fusion"):
+                continue
+            name = e.get("name", "?")
+            by_op_t[name] += e.get("dur", 0)
+            by_op_b[name] += int(a.get("bytes_accessed", 0) or 0)
+            by_op_n[name] += 1
+            if name not in op_meta:
+                op_meta[name] = (a.get("hlo_category", "?"),
+                                 str(a.get("source", ""))[-55:])
+    print("\n== top kernels (conv/fusion cats) by time (per step) ==")
+    print(f"{'ms':>8} {'GiB':>7} {'GB/s':>6} {'x':>5}  kernel [category] source")
+    for name, us in by_op_t.most_common(28):
+        b = by_op_b[name]
+        gbps = (b / 2**30 * 1.074) / (us / 1e6) if us else 0
+        cat, src = op_meta[name]
+        print(f"{us/k/1e3:8.2f} {b/k/2**30:7.2f} {gbps:6.0f} "
+              f"{by_op_n[name]//k:5d}  {name[:46]} [{cat}] {src}")
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:  # report-only on an existing capture dir
