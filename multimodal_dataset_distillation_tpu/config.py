@@ -248,7 +248,14 @@ class Config:
     # thread pool, DCT-scaled decode); PIL fallback per image
     native_decode: bool = True
     # run RandAugment(2,5) + CLIP normalization inside the jitted expert
-    # step (loaders emit raw [0,255] crops); host PIL RandAugment when off
+    # step (loaders emit raw [0,255] crops); host PIL RandAugment when off.
+    # MEASURED (tools/roofline_expert.py, v5e-1, batch 128 @224): the
+    # in-step augment makes the expert step 3.28 s vs 42 ms — the
+    # vmapped per-image op switch lowers to all-branches select and the
+    # equalize histogram one-hots dominate (~8.7 TB accessed/step).
+    # Host-side threaded RandAugment (fastimage/PIL) is the production
+    # path; keep this OFF unless the host loader is the proven
+    # bottleneck AND the op set is trimmed.
     device_augment: bool = False
     # HBM cache capacity for device-resident expert trajectories
     # (ExpertCycler): each NFNet-L0 trajectory slice is GBs; the cyclic

@@ -20,6 +20,7 @@ Flickr (1000x5000) is tiny next to the encoders.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -98,12 +99,16 @@ def _epoch_test_scores(testloader, model: VLBiEncoder, variables,
         chunks.append(l2_normalize(feats.astype(jnp.float32)))
     image_embeds = jnp.concatenate(chunks, axis=0)
 
-    n_img = int(image_embeds.shape[0])
-    n_txt = int(np.asarray(bert_test_embed).shape[0])
-    # pallas fused path once the sims matrix stops being trivially small
-    # (COCO-scale: 5k x 25k both directions) and we're on real TPU
-    use_pallas = (n_img * n_txt > 2_000_000
-                  and jax.devices()[0].platform == "tpu")
+    # Scoring path decision (measured on v5e-1, tools/bench_eval.py at
+    # COCO shape 5k x 25k, k=128): the XLA matmul + two-pass top-k mask
+    # runs in <1 ms — the scoring matrix is never the eval bottleneck
+    # (ranking was: 9.9 s/direction as a host argsort loop, now 40 ms on
+    # device via retrieval_eval).  The Pallas fused kernel also fails to
+    # compile at COCO scale on real TPU (its whole-txt-operand VMEM
+    # BlockSpec needs ~230 MB), so the former size-based auto-threshold
+    # enabled it exactly where it broke.  It remains available for
+    # experiments via MDD_EVAL_PALLAS=1 (small shapes only).
+    use_pallas = os.environ.get("MDD_EVAL_PALLAS") == "1"
     return _score_fn(model, variables, image_embeds,
                      jnp.asarray(bert_test_embed), k_test, use_pallas)
 

@@ -17,6 +17,17 @@ interchangeable under argsort ranking).  The k-th value per row-tile is
 found with a vectorized binary search on the VPU, avoiding any sort.
 
 Kernels run compiled on TPU and in interpreter mode on CPU (tests).
+
+STATUS (round-3 measurement, tools/bench_eval.py on v5e-1): the XLA
+matmul + two-pass top-k path scores the COCO-shape matrix in <1 ms, and
+this kernel's whole-``txt``-operand VMEM BlockSpec cannot fit COCO's
+25k x 2304 f32 (~230 MB) — it fails to compile at exactly the scale the
+fused design targeted.  The eval engine therefore no longer auto-selects
+it (``MDD_EVAL_PALLAS=1`` opts in for small shapes); the real eval
+bottleneck was ranking, fixed on-device in ``engine/eval.py``
+(9.9 s -> 40 ms per direction).  A production rewrite would stream txt
+column-tiles via double-buffered DMA (pallas_guide: Double Buffering)
+and carry running row top-k state across column tiles.
 """
 
 from __future__ import annotations

@@ -32,11 +32,24 @@ K = int(os.environ.get("BE_K", 128))
 REPS = int(os.environ.get("BE_REPS", 3))
 
 
+def _force(x):
+    """Materialize one element to host — the reliable sync over the
+    remote-TPU tunnel (timing immediately after an in-process compile
+    has produced impossible sub-MXU-bound numbers with
+    block_until_ready alone; see tools/roofline_expert.py note)."""
+    import numpy as _np
+
+    if hasattr(x, "ravel"):
+        _np.asarray(x.ravel()[0])
+    return x
+
+
 def timeit(fn, reps=REPS):
-    fn()  # warmup/compile
+    _force(fn())  # warmup/compile
+    _force(fn())
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
+        out = _force(fn())
     return (time.perf_counter() - t0) / reps, out
 
 

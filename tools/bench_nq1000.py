@@ -67,11 +67,11 @@ def main():
     temp_mib = getattr(ma, "temp_size_in_bytes", 0) / 2**20 if ma else None
 
     m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))  # warm
-    jax.block_until_ready(m["grand_loss"])
+    float(m["grand_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
-    jax.block_until_ready(m["grand_loss"])
+    float(m["grand_loss"])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "config": f"nq={nq}/syn_steps=8/mb=100/unroll={unroll}"

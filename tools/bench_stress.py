@@ -41,7 +41,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(10):
         l, a = tr.train_batch(imgs, txts)
-        jax.block_until_ready(l)
+        float(l)
     dt = (time.perf_counter() - t0) / 10
     ips = 128 / dt
     flickr_batches = 29000 // 128
@@ -65,7 +65,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(3):
         m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
-        jax.block_until_ready(m["grand_loss"])
+        float(m["grand_loss"])
     dt = (time.perf_counter() - t0) / 3
     print(f"scaled distill (nq=500, syn_steps=20): {dt:.2f} s/step, "
           f"loss={float(m['grand_loss']):.4f} (finite="

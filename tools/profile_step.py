@@ -57,7 +57,7 @@ def main():
 
     def one():
         m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
-        jax.block_until_ready(m["grand_loss"])
+        float(m["grand_loss"])
 
     one()  # compile
     one()

@@ -74,18 +74,22 @@ def bench(train_dtype: str, device_augment: bool, batch: int, iters: int):
     flops = float(ca.get("flops", float("nan")))
     byt = float(ca.get("bytes accessed", float("nan")))
 
-    # timed loop, device-resident inputs, host sync only at the end
+    # timed loop, device-resident inputs, host sync only at the end.
+    # NB sync via float() (host materialization): block_until_ready on a
+    # remote-tunnel array has been observed returning before the queue
+    # drains (measured 1.7 ms/step "times", 4.8x over the MXU peak bound
+    # — impossible), while float() is the proven bench.py pattern.
     for _ in range(2):  # compile + warm
         out = trainer._step(trainer.variables, trainer.opt_img,
                             trainer.opt_txt, jimg, jtxt, key)
-        jax.block_until_ready(out[3])
+        float(out[3])
     t0 = time.perf_counter()
     state = (trainer.variables, trainer.opt_img, trainer.opt_txt)
     for i in range(iters):
         key, sub = jax.random.split(key)
         out = trainer._step(*state, jimg, jtxt, sub)
         state = out[:3]
-    jax.block_until_ready(out[3])
+    float(out[3])
     dt = (time.perf_counter() - t0) / iters
 
     peak = V5E_BF16_PEAK if train_dtype == "bfloat16" else V5E_F32_PEAK
