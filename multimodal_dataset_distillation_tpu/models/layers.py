@@ -76,6 +76,18 @@ class WSConv(nn.Module):
     gamma: float = 1.0
     eps: float = 1e-6
     dtype: Any = None
+    # expand_dense: run a grouped conv as a DENSE conv with an explicit
+    # block-diagonal kernel (identical math: the off-block weights are
+    # structural zeros, and their gradient is projected away by the same
+    # eye-contraction that creates them).  TPU perf lever: XLA lowers
+    # feature_group_count>1 convs to rank-5 "groups as a spatial dim"
+    # kernels that run at 260-510 GB/s on v5e (profiled, DESIGN.md §10);
+    # the dense form uses the ordinary lane-efficient conv path at the
+    # cost of group_count x more MXU FLOPs — cheap when the step is
+    # HBM-bound.  Parameters are unchanged (the grouped kernel is
+    # densified at apply time), so flat-vector/buffer layouts and
+    # checkpoints are unaffected.
+    expand_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,6 +101,16 @@ class WSConv(nn.Module):
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
         scale = jax.lax.rsqrt((var + self.eps) * fan_in)
         w = (w - mean) * scale * (gain * self.gamma)[None, None, None, :]
+        groups = self.feature_group_count
+        if self.expand_dense and groups > 1:
+            kh, kw, cpg, feats = w.shape
+            opg = feats // groups
+            # dense[h, w, k*cpg + c, g*opg + o] = (k == g) * w[h, w, c, g*opg + o]
+            w5 = w.reshape(kh, kw, cpg, groups, opg)
+            eye = jnp.eye(groups, dtype=w.dtype)
+            w = jnp.einsum("kg,hwcgo->hwkcgo", eye, w5).reshape(
+                kh, kw, in_ch, feats)
+            groups = 1
         if self.dtype is not None:
             w = w.astype(self.dtype)
             x = x.astype(self.dtype)
@@ -96,7 +118,7 @@ class WSConv(nn.Module):
             x, w,
             window_strides=self.strides,
             padding=self.padding,
-            feature_group_count=self.feature_group_count,
+            feature_group_count=groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

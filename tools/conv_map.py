@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Join the captured profile trace with the optimized HLO: which conv
+SHAPES do the slow kernels compute?
+
+DESIGN.md §10 ends at "remaining software headroom is in the conv
+kernels themselves" — ~35% of conv-fusion time runs under 500 GB/s in
+small-per-call kernels.  This tool AOT-compiles the headline step
+(compile-cache hit), parses ``compiled.as_text()`` to map every fusion
+instruction to the convolution ops it contains (operand shapes, window,
+feature_group_count), then aggregates the trace's per-kernel time/bytes
+by conv signature.  Output: the table that says whether the slow class
+is the grouped 3x3s, the 1x1s, the stem, or the tangent convs.
+
+Usage: python tools/conv_map.py [trace_dir]   (default /tmp/profile_step)
+Env: CM_HLO_OUT=/tmp/step_hlo.txt to also dump the HLO text.
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_compiled():
+    import jax
+
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.engine.expert import init_bi_encoder
+    from multimodal_dataset_distillation_tpu.models.clip_model import build_bi_encoder
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
+    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+    setup_compilation_cache()
+    cfg = Config(image_encoder="nfnet", image_size=224, num_queries=100,
+                 syn_steps=8, mini_batch_size=100, expert_epochs=1,
+                 lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
+                 lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0,
+                 inner_dtype="bfloat16", scan_unroll=8, hvp_mode="forward")
+    model = build_bi_encoder(cfg)
+    variables = init_bi_encoder(model, cfg)
+    rng = np.random.RandomState(0)
+    d = Distiller(cfg, model, variables,
+                  rng.randn(100, 224, 224, 3).astype(np.float32),
+                  rng.randn(100, 768).astype(np.float32))
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    i0 = np.asarray(img_flat)
+    t0 = np.asarray(txt_flat)
+    traj_i = d.put_trajectory(np.stack([i0, i0 * 1.01]))
+    traj_t = d.put_trajectory(np.stack([t0, t0 * 1.01]))
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(d.sample_indices(rng))
+    compiled = d._step_traj.lower(
+        d.state, traj_i, traj_t, np.int32(0), idx,
+        jax.random.PRNGKey(0)).compile()
+    return compiled
+
+
+# fusion instruction: %name = ... fusion(...), kind=..., calls=%comp
+FUSION_RE = re.compile(
+    r"[%]?([\w.\-]+) = [^=]*fusion\(.*calls=([\w.\-]+)")
+CONV_RE = re.compile(
+    r"convolution\(|convolution[\w.\-]* = ")
+
+
+def parse_hlo(text):
+    """Map fusion instruction name -> list of conv signatures inside its
+    called computation; also direct (unfused) convolution instrs."""
+    comp_convs = collections.defaultdict(list)   # computation -> [sig]
+    fusion_calls = {}                            # instr name -> computation
+    cur_comp = None
+    for line in text.splitlines():
+        if line and not line[0].isspace():
+            m = re.match(r"(?:ENTRY )?[%]?([\w.\-]+)", line)
+            if m:
+                cur_comp = m.group(1)
+            continue
+        s = line.strip()
+        if " = " not in s:
+            continue
+        name, rhs = s.split(" = ", 1)
+        name = name.lstrip("%")
+        if " fusion(" in rhs or rhs.startswith("fusion("):
+            m = re.search(r"calls=[%]?([\w.\-]+)", rhs)
+            if m:
+                fusion_calls[name] = m.group(1)
+        elif " convolution(" in rhs or rhs.startswith("convolution("):
+            # out shape is the first token; window + fgc in the config
+            out_shape = rhs.split(" ", 1)[0]
+            w = re.search(r"window=\{([^}]*)\}", rhs)
+            dnums = re.search(r"dim_labels=(\S+?)[,}]", rhs)
+            fgc = re.search(r"feature_group_count=(\d+)", rhs)
+            bgc = re.search(r"batch_group_count=(\d+)", rhs)
+            sig = (out_shape,
+                   w.group(1) if w else "",
+                   dnums.group(1) if dnums else "",
+                   int(fgc.group(1)) if fgc else 1,
+                   int(bgc.group(1)) if bgc else 1)
+            comp_convs[cur_comp].append(sig)
+    kernel_convs = {}
+    for instr, comp in fusion_calls.items():
+        if comp in comp_convs:
+            kernel_convs[instr] = comp_convs[comp]
+    return kernel_convs
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/profile_step"
+    compiled = build_compiled()
+    text = compiled.as_text()
+    if os.environ.get("CM_HLO_OUT"):
+        with open(os.environ["CM_HLO_OUT"], "w") as f:
+            f.write(text)
+    kernel_convs = parse_hlo(text)
+    n_conv_kernels = len(kernel_convs)
+    print(f"HLO: {n_conv_kernels} fusions contain convolutions",
+          file=sys.stderr)
+
+    traces = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    with gzip.open(traces[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    tids = {e["tid"]: e["args"].get("name") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e.get("pid") == 3}
+    opthreads = {t for t, n in tids.items() if n == "XLA Ops"}
+    k = 2  # steps in the capture
+    by_sig_t = collections.Counter()
+    by_sig_b = collections.Counter()
+    by_sig_n = collections.Counter()
+    unmatched_t = 0
+    for e in ev:
+        if not (e.get("ph") == "X" and e.get("pid") == 3
+                and e.get("tid") in opthreads):
+            continue
+        a = e.get("args", {})
+        if a.get("hlo_category", "") != "convolution fusion":
+            continue
+        name = e.get("name", "?")
+        convs = kernel_convs.get(name)
+        if convs is None:
+            unmatched_t += e.get("dur", 0)
+            continue
+        # signature of the kernel = sorted multiset of conv sigs inside
+        sig = tuple(sorted(collections.Counter(convs).items()))
+        by_sig_t[sig] += e.get("dur", 0)
+        by_sig_b[sig] += int(a.get("bytes_accessed", 0) or 0)
+        by_sig_n[sig] += 1
+    tot = sum(by_sig_t.values())
+    print(f"matched conv-fusion time: {tot/k/1e3:.0f} ms/step "
+          f"(unmatched {unmatched_t/k/1e3:.0f} ms)")
+    print(f"{'ms/st':>7} {'GiB':>6} {'GB/s':>5} {'x':>5}  convs inside")
+    for sig, us in by_sig_t.most_common(40):
+        b = by_sig_b[sig]
+        gbps = (b / 2**30 * 1.074) / (us / 1e6) if us else 0
+        desc = "; ".join(
+            f"{c}x {shape} fgc={fgc}" + (f" bgc={bgc}" if bgc > 1 else "")
+            + (f" win[{win[:40]}]" if win else "")
+            for (shape, win, dn, fgc, bgc), c in sig)
+        print(f"{us/k/1e3:7.1f} {b/k/2**30:6.1f} {gbps:5.0f} "
+              f"{by_sig_n[sig]//k:5d}  {desc[:130]}")
+
+
+if __name__ == "__main__":
+    main()

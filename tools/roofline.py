@@ -3,7 +3,8 @@
 
 Prints, for hvp_mode in {reverse, forward}:
   - exact FLOPs and bytes accessed from compiled.cost_analysis()
-  - roofline bounds: flops/394e12 (v5e bf16 peak) vs bytes/819e9 (HBM BW)
+  - roofline bounds: flops/197e12 (v5e bf16 peak; 394e12 is the int8
+    figure) vs bytes/819e9 (HBM BW)
   - peak HBM from memory_analysis()
 and for the faster mode:
   - steps/s with a per-step blocking sync (what bench.py r1 measured)
@@ -80,7 +81,7 @@ def analyze(mode):
         "mode": mode,
         "flops_per_step": flops,
         "bytes_accessed": byt,
-        "mxu_bound_s": flops / 394e12,
+        "mxu_bound_s": flops / 197e12,
         "hbm_bound_s": byt / 819e9,
         "temp_mib": getattr(ma, "temp_size_in_bytes", 0) / 2**20 if ma else None,
     }

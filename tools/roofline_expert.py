@@ -26,8 +26,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK = 394e12
-V5E_F32_PEAK = 197e12  # v5e has no f32 MXU mode; XLA uses bf16x3 ~ 1/2
+V5E_BF16_PEAK = 197e12  # v5e bf16 peak (394e12 is the int8 figure)
+V5E_F32_PEAK = 98e12    # v5e has no f32 MXU mode; XLA uses bf16x3 ~ 1/2
 V5E_HBM_BW = 819e9
 FLICKR_PAIRS_PER_EPOCH = 145_000  # 29k images x 5 captions (train JSON)
 
