@@ -156,9 +156,6 @@ def main():
         cfg = cfg.replace(fr_resid_dtype=os.environ["BENCH_FR_RESID"])
     if os.environ.get("BENCH_FR_BWD"):
         cfg = cfg.replace(fr_bwd=os.environ["BENCH_FR_BWD"])
-    if os.environ.get("BENCH_DENSE_GROUPS"):
-        cfg = cfg.replace(
-            dense_groups=os.environ["BENCH_DENSE_GROUPS"] == "1")
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
 

@@ -70,8 +70,14 @@ def main(cfg: Config):
     from multimodal_dataset_distillation_tpu.parallel.mesh import (
         setup_compilation_cache,
     )
+    from multimodal_dataset_distillation_tpu.ops import pallas_gconv
 
     setup_compilation_cache()
+    # pallas grouped-conv kernel: single-device only (GSPMD cannot
+    # partition the pallas call over a >1-device mesh)
+    multi_dev = len(jax.devices()) > 1 or (
+        cfg.mesh_shape and int(np.prod(cfg.mesh_shape)) > 1)
+    pallas_gconv.set_enabled(cfg.pallas_gconv and not multi_dev)
     # reference flag-combination guards (distill_original.py:104-108)
     if cfg.zca and cfg.texture:
         raise AssertionError("Cannot use zca and texture together")

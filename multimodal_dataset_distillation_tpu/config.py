@@ -225,13 +225,13 @@ class Config:
     # num_queries divides the data axis; indices stay global, so the
     # semantics (and gradients) are identical to the unsharded path.
     shard_syn: bool = True
-    # run NF-net grouped 3x3 convs as block-diagonal DENSE convs
-    # (identical math — see models/layers.py WSConv.expand_dense).  On
-    # v5e the XLA grouped-conv lowering (groups as an extra spatial dim)
-    # runs at 260-510 GB/s vs ~700+ for the dense path (DESIGN.md §10
-    # conv_map table); dense trades group_count x more MXU FLOPs — free
-    # while the step is HBM-bound — for lane-efficient kernels.
-    dense_groups: bool = False
+    # run NF-net grouped 3x3 convs through the pallas im2col kernel
+    # (ops/pallas_gconv.py) instead of XLA's rank-5 grouped lowering.
+    # Exact same math to arbitrary derivative order; non-TPU platforms
+    # lower to the lax reference.  Forced off when a >1-device mesh is
+    # active (GSPMD cannot partition the pallas call).  Env override:
+    # MDD_PALLAS_GCONV=0/1.
+    pallas_gconv: bool = False
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -44,11 +44,9 @@ class VLBiEncoder(nn.Module):
     only_image_projection: bool = False
     transfer: bool = False
     proj_dropout: float = 0.1            # ProjectionHead Dropout(0.1), networks.py:634
-    dense_groups: bool = False           # NF grouped 3x3s as dense (perf knob)
 
     def setup(self):
-        self.image_encoder = ImageTower(self.image_encoder_name, self.transfer,
-                                        self.dense_groups)
+        self.image_encoder = ImageTower(self.image_encoder_name, self.transfer)
         self.text_projection = ProjectionHead(
             embedding_dim=self.text_embedding,
             projection_dim=self.image_embedding,
@@ -156,5 +154,4 @@ def build_bi_encoder(cfg: Config) -> VLBiEncoder:
         image_embedding=image_dim,
         only_image_projection=cfg.only_has_image_projection,
         transfer=cfg.transfer,
-        dense_groups=getattr(cfg, "dense_groups", False),
     )

@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_gconv
+
 # Expected gain of x -> act(x) under x~N(0,1); used by NF nets to preserve
 # unit variance without normalization layers ("normalizer-free" recipe,
 # Brock et al. 2021).  Values match the published constants.
@@ -76,18 +78,6 @@ class WSConv(nn.Module):
     gamma: float = 1.0
     eps: float = 1e-6
     dtype: Any = None
-    # expand_dense: run a grouped conv as a DENSE conv with an explicit
-    # block-diagonal kernel (identical math: the off-block weights are
-    # structural zeros, and their gradient is projected away by the same
-    # eye-contraction that creates them).  TPU perf lever: XLA lowers
-    # feature_group_count>1 convs to rank-5 "groups as a spatial dim"
-    # kernels that run at 260-510 GB/s on v5e (profiled, DESIGN.md §10);
-    # the dense form uses the ordinary lane-efficient conv path at the
-    # cost of group_count x more MXU FLOPs — cheap when the step is
-    # HBM-bound.  Parameters are unchanged (the grouped kernel is
-    # densified at apply time), so flat-vector/buffer layouts and
-    # checkpoints are unaffected.
-    expand_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -102,25 +92,25 @@ class WSConv(nn.Module):
         scale = jax.lax.rsqrt((var + self.eps) * fan_in)
         w = (w - mean) * scale * (gain * self.gamma)[None, None, None, :]
         groups = self.feature_group_count
-        if self.expand_dense and groups > 1:
-            kh, kw, cpg, feats = w.shape
-            opg = feats // groups
-            # dense[h, w, k*cpg + c, g*opg + o] = (k == g) * w[h, w, c, g*opg + o]
-            w5 = w.reshape(kh, kw, cpg, groups, opg)
-            eye = jnp.eye(groups, dtype=w.dtype)
-            w = jnp.einsum("kg,hwcgo->hwkcgo", eye, w5).reshape(
-                kh, kw, in_ch, feats)
-            groups = 1
         if self.dtype is not None:
             w = w.astype(self.dtype)
             x = x.astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=self.strides,
-            padding=self.padding,
-            feature_group_count=groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (groups > 1 and self.kernel_size == (3, 3)
+                and self.strides == (1, 1) and self.padding == "SAME"
+                and pallas_gconv.enabled()):
+            # grouped 3x3s are the one conv class XLA runs far off
+            # roofline (rank-5 grouped lowering, DESIGN.md §10.1); the
+            # pallas im2col kernel is exact-same-math and arbitrary-order
+            # differentiable (ops/pallas_gconv.py)
+            y = pallas_gconv.gconv3x3(x, w, groups)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=self.strides,
+                padding=self.padding,
+                feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32)

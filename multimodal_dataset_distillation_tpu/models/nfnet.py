@@ -60,9 +60,6 @@ class NfConfig:
     drop_path_rate: float = 0.0
     num_classes: int = 0                  # 0 = feature extractor (pooled)
     drop_rate: float = 0.0
-    # run grouped 3x3s as block-diagonal DENSE convs (identical math;
-    # see WSConv.expand_dense).  TPU distill-step perf knob.
-    dense_groups: bool = False
 
 
 # Flagship: timm `nfnet_l0` — depths (1,2,6,3), channels (256,512,1536,1536),
@@ -134,12 +131,11 @@ class NfBlock(nn.Module):
         out = WSConv(mid, (1, 1), name="conv1")(out)
         out = act(out)
         out = WSConv(mid, (3, 3), strides=(self.stride, self.stride),
-                     feature_group_count=groups,
-                     expand_dense=cfg.dense_groups, name="conv2")(out)
+                     feature_group_count=groups, name="conv2")(out)
         if cfg.extra_conv:
             out = act(out)
             out = WSConv(mid, (3, 3), feature_group_count=groups,
-                         expand_dense=cfg.dense_groups, name="conv2b")(out)
+                         name="conv2b")(out)
         out = act(out)
         out = WSConv(self.out_chs, (1, 1), name="conv3")(out)
         if cfg.attn_rd_ratio > 0:
@@ -230,21 +226,18 @@ NF_TINY = NfConfig(
 )
 
 
-def nfnet_l0(num_classes: int = 0, dense_groups: bool = False) -> NormFreeNet:
-    return NormFreeNet(dataclasses.replace(
-        NFNET_L0, num_classes=num_classes, dense_groups=dense_groups))
+def nfnet_l0(num_classes: int = 0) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NFNET_L0, num_classes=num_classes))
 
 
-def nf_tiny(num_classes: int = 0, dense_groups: bool = False) -> NormFreeNet:
-    return NormFreeNet(dataclasses.replace(
-        NF_TINY, num_classes=num_classes, dense_groups=dense_groups))
+def nf_tiny(num_classes: int = 0) -> NormFreeNet:
+    return NormFreeNet(dataclasses.replace(NF_TINY, num_classes=num_classes))
 
 
 def nf_resnet50(num_classes: int = 1000) -> NormFreeNet:
     return NormFreeNet(dataclasses.replace(NF_RESNET50, num_classes=num_classes))
 
 
-def nf_regnet_b1(num_classes: int = 1000,
-                 dense_groups: bool = False) -> NormFreeNet:
+def nf_regnet_b1(num_classes: int = 1000) -> NormFreeNet:
     return NormFreeNet(dataclasses.replace(
-        NF_REGNET_B1, num_classes=num_classes, dense_groups=dense_groups))
+        NF_REGNET_B1, num_classes=num_classes))

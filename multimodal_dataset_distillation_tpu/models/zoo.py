@@ -47,20 +47,17 @@ IMAGE_FEATURE_DIMS = {
 }
 
 
-def _build(name: str, transfer: bool = False,
-           dense_groups: bool = False) -> nn.Module:
+def _build(name: str, transfer: bool = False) -> nn.Module:
     if name == "nfnet":
-        return _nfnet.nfnet_l0(num_classes=1000 if transfer else 0,
-                               dense_groups=dense_groups)
+        return _nfnet.nfnet_l0(num_classes=1000 if transfer else 0)
     if name in ("vit", "vit_tiny"):
         return _vit.vit_tiny_patch16_224(num_classes=1000)
     if name == "nf_tiny":
-        return _nfnet.nf_tiny(num_classes=0, dense_groups=dense_groups)
+        return _nfnet.nf_tiny(num_classes=0)
     if name == "nf_resnet50":
         return _nfnet.nf_resnet50(num_classes=1000)
     if name == "nf_regnet":
-        return _nfnet.nf_regnet_b1(num_classes=1000,
-                                   dense_groups=dense_groups)
+        return _nfnet.nf_regnet_b1(num_classes=1000)
     if name == "resnet50":
         return _resnet.resnet50(num_classes=1000)
     if name == "resnet18":
@@ -95,12 +92,11 @@ class ImageTower(nn.Module):
 
     encoder_name: str
     transfer: bool = False
-    dense_groups: bool = False           # NF nets: grouped 3x3s as dense
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         name = self.encoder_name
-        m = _build(name, self.transfer, self.dense_groups)
+        m = _build(name, self.transfer)
         if isinstance(m, (_nfnet.NormFreeNet, _vit.VisionTransformer)):
             return m(x, deterministic=not train)
         if name in ("clip", "convnext"):

@@ -41,25 +41,45 @@ DT_BYTES = {"bf16": 2, "f32": 4, "f64": 8, "f16": 2, "s32": 4, "u32": 4,
 SHAPE_RE = re.compile(r"(bf16|f32|f64|f16|s32|u32|pred)\[([0-9,]*)\]")
 
 
+OPERANDS_RE = re.compile(r"convolution\(([^,)]+), ([^,)]+)\)")
+
+
 def parse(path):
-    convs = []
+    """Two passes: the optimized-HLO text gives operands by NAME only
+    (`convolution(%fusion.a, %fusion.b)`), so first build a symbol table
+    of every instruction's result shape, then resolve conv operands.
+    ENTRY-computation instructions carry no `%` prefix; names are
+    normalized with it stripped."""
+    defs = {}
+    conv_lines = []
     with open(path) as f:
         for line in f:
             s = line.strip()
             if " = " not in s:
                 continue
             lhs, rhs = s.split(" = ", 1)
-            # match real convolution instructions only (not fusion names
-            # that merely contain the word)
-            if not re.match(r"(bf16|f32|f16|f64)\[[0-9,]*\]\S* convolution\(",
-                            rhs):
+            name = lhs.split(" ")[0].lstrip("%")
+            if not name or "[" in name:
                 continue
-            shapes = SHAPE_RE.findall(rhs)
-            # first = result, next two = operands (lhs, rhs of the conv)
-            if len(shapes) < 3:
-                continue
-            out, a, b = shapes[0], shapes[1], shapes[2]
-            convs.append((out, a, b))
+            m = SHAPE_RE.match(rhs)
+            if m:
+                defs[name] = (m.group(1), m.group(2))
+            if re.match(r"(bf16|f32|f16|f64)\[[0-9,]*\]\S* convolution\(",
+                        rhs):
+                conv_lines.append(rhs)
+    convs = []
+    unresolved = 0
+    for rhs in conv_lines:
+        out = SHAPE_RE.match(rhs).groups()
+        ops = OPERANDS_RE.search(rhs)
+        a = defs.get(ops.group(1).strip().lstrip("%")) if ops else None
+        b = defs.get(ops.group(2).strip().lstrip("%")) if ops else None
+        if a is None or b is None:
+            unresolved += 1
+            continue
+        convs.append((out, a, b))
+    if unresolved:
+        print(f"WARNING: {unresolved} conv instrs with unresolved operands")
     return convs
 
 

@@ -72,6 +72,34 @@ FUSION_RE = re.compile(
 CONV_RE = re.compile(
     r"convolution\(|convolution[\w.\-]* = ")
 
+SHAPE_TOK = re.compile(r"(bf16|f32|f16|f64|s32|u32)\[([0-9,]*)\]")
+
+
+def _numel(dims):
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n
+
+
+def conv_flops(rhs, dim_labels):
+    """FLOPs of one HLO convolution: 2 * |out| * (per-output fan-in),
+    fan-in = |rhs operand| / (its output-feature dim).  Works for
+    grouped/batch-grouped and AD-transposed convs alike."""
+    shapes = SHAPE_TOK.findall(rhs)
+    if len(shapes) < 3:
+        return 0
+    out_n = _numel(shapes[0][1])
+    rhs_dims = [int(d) for d in shapes[2][1].split(",") if d]
+    try:
+        rlabels = dim_labels.split("_")[1].split("->")[0]
+        o_dim = rlabels.index("o")
+        fan_in = _numel(shapes[2][1]) // max(rhs_dims[o_dim], 1)
+    except (IndexError, ValueError):
+        fan_in = _numel(shapes[2][1])
+    return 2 * out_n * fan_in
+
 
 def parse_hlo(text):
     """Map fusion instruction name -> list of conv signatures inside its
@@ -105,7 +133,8 @@ def parse_hlo(text):
                    w.group(1) if w else "",
                    dnums.group(1) if dnums else "",
                    int(fgc.group(1)) if fgc else 1,
-                   int(bgc.group(1)) if bgc else 1)
+                   int(bgc.group(1)) if bgc else 1,
+                   conv_flops(rhs, dnums.group(1) if dnums else ""))
             comp_convs[cur_comp].append(sig)
     kernel_convs = {}
     for instr, comp in fusion_calls.items():
@@ -140,25 +169,51 @@ def main():
     by_sig_b = collections.Counter()
     by_sig_n = collections.Counter()
     unmatched_t = 0
+    # per-kernel roofline floor over the WHOLE program:
+    #   floor_k = max(bytes_k / 819 GB/s, conv_flops_k / 197 TFLOPS)
+    # Sum(floor_k) is the time this exact program (XLA's kernel set and
+    # its measured per-kernel bytes) cannot beat on a v5e even with
+    # perfect kernels — the denominator for "fraction of the per-kernel
+    # roofline achieved" (VERDICT r2 item 1 alternative criterion).
+    HBM_PEAK, MXU_PEAK = 819e9, 197e12
+    floor_us = meas_us = floor_conv_us = meas_conv_us = 0.0
+    mxu_limited_us = 0.0
     for e in ev:
         if not (e.get("ph") == "X" and e.get("pid") == 3
                 and e.get("tid") in opthreads):
             continue
         a = e.get("args", {})
-        if a.get("hlo_category", "") != "convolution fusion":
-            continue
+        cat = a.get("hlo_category", "")
         name = e.get("name", "?")
+        dur = e.get("dur", 0)
+        byts = int(a.get("bytes_accessed", 0) or 0)
         convs = kernel_convs.get(name)
-        if convs is None:
-            unmatched_t += e.get("dur", 0)
-            continue
-        # signature of the kernel = sorted multiset of conv sigs inside
-        sig = tuple(sorted(collections.Counter(convs).items()))
-        by_sig_t[sig] += e.get("dur", 0)
-        by_sig_b[sig] += int(a.get("bytes_accessed", 0) or 0)
-        by_sig_n[sig] += 1
+        flops = sum(c[5] for c in convs) if convs else 0
+        fl = max(byts / HBM_PEAK, flops / MXU_PEAK) * 1e6
+        floor_us += fl
+        meas_us += dur
+        if flops / MXU_PEAK > byts / HBM_PEAK:
+            mxu_limited_us += fl
+        if cat == "convolution fusion":
+            floor_conv_us += fl
+            meas_conv_us += dur
+            if convs is None:
+                unmatched_t += dur
+                continue
+            sig = tuple(sorted(collections.Counter(convs).items()))
+            by_sig_t[sig] += dur
+            by_sig_b[sig] += byts
+            by_sig_n[sig] += 1
+    print(f"\n== per-kernel roofline floor (819 GB/s HBM, 197 TFLOPS bf16) ==")
+    print(f"all kernels : floor {floor_us/k/1e3:7.0f} ms/step   measured "
+          f"{meas_us/k/1e3:7.0f} ms/step   achieved {floor_us/meas_us:5.1%}")
+    print(f"conv fusions: floor {floor_conv_us/k/1e3:7.0f} ms/step   measured "
+          f"{meas_conv_us/k/1e3:7.0f} ms/step   achieved "
+          f"{floor_conv_us/max(meas_conv_us,1):5.1%}")
+    print(f"MXU-limited share of the floor: {mxu_limited_us/k/1e3:.0f} ms/step")
+
     tot = sum(by_sig_t.values())
-    print(f"matched conv-fusion time: {tot/k/1e3:.0f} ms/step "
+    print(f"\nmatched conv-fusion time: {tot/k/1e3:.0f} ms/step "
           f"(unmatched {unmatched_t/k/1e3:.0f} ms)")
     print(f"{'ms/st':>7} {'GiB':>6} {'GB/s':>5} {'x':>5}  convs inside")
     for sig, us in by_sig_t.most_common(40):
@@ -167,7 +222,7 @@ def main():
         desc = "; ".join(
             f"{c}x {shape} fgc={fgc}" + (f" bgc={bgc}" if bgc > 1 else "")
             + (f" win[{win[:40]}]" if win else "")
-            for (shape, win, dn, fgc, bgc), c in sig)
+            for (shape, win, dn, fgc, bgc, fl), c in sig)
         print(f"{us/k/1e3:7.1f} {b/k/2**30:6.1f} {gbps:5.0f} "
               f"{by_sig_n[sig]//k:5d}  {desc[:130]}")
 
