@@ -1,18 +1,21 @@
 """Pallas TPU kernels for NFNet's grouped 3x3 convolutions.
 
-Why this exists (round-3 perf campaign, DESIGN.md §10.1): in the
-headline distill step the grouped 3x3 convs of NFNet-L0's stage-2/3/4
-bottlenecks (``models/nfnet.py`` conv2/conv2b, group width 64 — the
-reference builds them with timm's grouped Conv2d via
-``/root/reference/networks.py:666``) are the one conv class that is slow
-even *standalone*: XLA lowers ``feature_group_count>1`` to a rank-5
-"groups as an extra spatial dim" kernel whose matmuls contract K=64 over
-N=64 lanes — a 25% MXU-granularity ceiling (~46 TFLOPS / 260-510 GB/s
-measured, ``tools/conv_micro.py``).  Rewriting each group as an im2col
-matmul lifts the contraction to K = 9*64 = 576 (full MXU depth) at
-N=64, doubling the per-kernel ceiling; the block-diagonal *dense*
-rewrite tried earlier paid 6x FLOPs and lost (DESIGN.md §10 round-3
-table) — this kernel keeps the grouped FLOP count.
+Why this exists (round-3 perf campaign, DESIGN.md §10.1): the grouped
+3x3 convs of NFNet-L0's stage-2/3/4 bottlenecks (``models/nfnet.py``
+conv2/conv2b, group width 64 — the reference builds them with timm's
+grouped Conv2d via ``/root/reference/networks.py:666``) profile as the
+distill step's least-efficient conv class, and the only way to know
+whether XLA's rank-5 grouped lowering is beatable was to build the best
+structural alternative and measure it.  **Measured outcome: parity,
+not a win** (0.75-1.08x of XLA standalone, ``tools/bench_gconv.py``;
+XLA's in-step fused kernels are faster still) — the 2x block-diagonal
+FLOP redundancy this kernel pays to feed the MXU full 128-lane work
+cancels exactly the granularity gain it was chasing, i.e. the grouped
+conv class is at its hardware-structure ceiling.  The kernel therefore
+ships **default-off** (``--pallas_gconv``) as the measured record, and
+the module doubles as the template for pallas conv work: a JAX
+primitive that is correct under every AD composition the framework
+uses, with the kernel-engineering pitfalls documented below.
 
 Scope is deliberately narrow: **stride-1, SAME-padded 3x3 grouped convs
 in NHWC/HWIO** — exactly NFNet's non-transition grouped convs.  Strided
@@ -92,206 +95,173 @@ def _ref_wgrad(x: jnp.ndarray, ybar: jnp.ndarray, *, groups: int) -> jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
-# pallas kernels
+# pallas kernels (v3: group-pair packing)
+#
+# Kernel-engineering record (measured on v5e-1, tools/bench_gconv.py):
+# v1 (per-group im2col built with strided VPU slice+reshape writes) ran
+# 4-7x SLOWER than XLA's grouped lowering — Mosaic lowers the
+# misaligned (tn,h,w)-merge reshapes of sublane-sliced windows to
+# scalarized shuffles.  v2 (im2col via VMEM->VMEM DMA) fails to compile:
+# DMA slices must be 8-sublane aligned, and conv taps are offset by
+# 0/1/2.  v3 avoids misaligned structure entirely:
+#   * two adjacent 64-channel groups are packed into one 128-lane block
+#     ("pair"); every lane slice in the kernel is 128-aligned;
+#   * the 3 dy-shifts are lane-CONCATENATED into rows3[tn,h,w+2,3*128]
+#     (dy is a major dim -> free slicing; concat at 128 lanes);
+#   * ONE dot per pair against a block-diagonal packed weight
+#     [3*128, 3*128] computes all taps/channels at once (K=N=384: full
+#     MXU depth and lanes; the off-diagonal zero blocks cost 2x FLOPs,
+#     which sits far below the bytes bound);
+#   * the dx-shifts resolve as 3 value-level sublane slice-adds of the
+#     dot result (no ref stores, no reshape-after-slice).
+# wgrad uses the same rows3 against a zero-padded lane-concat of ybar:
+# a single [384, m] x [m, 384] dot yields ALL 9 taps per pair; the
+# same-group diagonal blocks are extracted outside the kernel.
 # ---------------------------------------------------------------------------
 
-def _pick_tile(n: int, h: int, w: int, c: int, itemsize: int) -> int:
-    """Largest divisor of n whose per-program VMEM stays ~<10 MB."""
+_LANES = 128
+_CPG = 64  # group width this fast path packs (NFNet group_size=64)
+
+
+def _supported(groups: int, cpg: int, opg: int) -> bool:
+    return groups % 2 == 0 and cpg == _CPG and opg == _CPG
+
+
+def _pick_tile(n: int, h: int, w: int, itemsize: int) -> int:
+    """Largest divisor of n keeping the pair-kernel VMEM ~<8 MB."""
     best = 1
     for tn in range(1, n + 1):
         if n % tn:
             continue
-        m = tn * h * w
-        vmem = (tn * (h + 2) * (w + 2) * c * itemsize      # padded input
-                + m * 9 * 64 * itemsize                     # im2col (1 group)
-                + 2 * 2 * tn * h * w * c * itemsize)        # dbl-buffered io
-        if vmem < 10 * 2**20:
+        m2 = tn * h * (w + 2)
+        vmem = (tn * (h + 2) * (w + 2) * _LANES * itemsize   # xp value
+                + 2 * m2 * 3 * _LANES * itemsize             # rows3/ypad3
+                + m2 * 3 * _LANES * 4                        # dot out f32
+                + 4 * tn * h * w * _LANES * itemsize)        # dbl-buf io
+        if vmem < 8 * 2**20:
             best = tn
     return best
 
 
-def _spatial_kernel(x_ref, w_ref, o_ref, xp_ref, cols_ref, *, groups: int):
-    tn, h, w, c = x_ref.shape
-    cpg = c // groups
-    opg = o_ref.shape[-1] // groups
-    m = tn * h * w
-    xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[:, 1:h + 1, 1:w + 1, :] = x_ref[:]
-    for g in range(groups):
-        for t, (dy, dx) in enumerate(TAPS):
-            cols_ref[:, t * cpg:(t + 1) * cpg] = (
-                xp_ref[:, dy:dy + h, dx:dx + w, g * cpg:(g + 1) * cpg]
-                .reshape(m, cpg))
-        wmat = w_ref[:, :, :, g * opg:(g + 1) * opg].reshape(9 * cpg, opg)
-        y = jnp.dot(cols_ref[:], wmat, preferred_element_type=jnp.float32)
-        o_ref[:, :, :, g * opg:(g + 1) * opg] = (
-            y.astype(o_ref.dtype).reshape(tn, h, w, opg))
+def _pack_w_pairs(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """HWIO grouped kernel -> per-pair block-diagonal [P, 384, 384]:
+    out[p, dy*128 + s*64 + c, dx*128 + t*64 + o] =
+        (s == t) * w[dy, dx, c, (2p+s)*64 + o]."""
+    p = groups // 2
+    w6 = w.reshape(3, 3, _CPG, p, 2, _CPG)         # dy,dx,c,p,s,o
+    eye = jnp.eye(2, dtype=w.dtype)
+    wc = jnp.einsum("yxcpso,st->pyscxto", w6, eye)
+    return wc.reshape(p, 3 * _LANES, 3 * _LANES)
+
+
+def _spatial_kernel(x_ref, w_ref, o_ref):
+    tn, h, w, _ = x_ref.shape
+    m2 = tn * h * (w + 2)
+    xp = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows3 = jnp.concatenate([xp[:, dy:dy + h, :, :] for dy in range(3)],
+                            axis=-1)
+    t = jnp.dot(rows3.reshape(m2, 3 * _LANES), w_ref[0],
+                preferred_element_type=jnp.float32)
+    t5 = t.reshape(tn, h, w + 2, 3 * _LANES)
+    acc = (t5[:, :, 0:w, 0 * _LANES:1 * _LANES]
+           + t5[:, :, 1:w + 1, 1 * _LANES:2 * _LANES]
+           + t5[:, :, 2:w + 2, 2 * _LANES:3 * _LANES])
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _pallas_spatial(x, w, *, groups: int, interpret: bool = False):
     n, h, wd, c = x.shape
     cpg = c // groups
     feats = w.shape[-1]
-    tn = _pick_tile(n, h, wd, c, x.dtype.itemsize)
-    m = tn * h * wd
-    grid = (n // tn,)
+    if not _supported(groups, cpg, feats // groups):
+        return _ref_spatial(x, w, groups=groups)
+    pairs = groups // 2
+    wc = _pack_w_pairs(w, groups)
+    tn = _pick_tile(n, h, wd, x.dtype.itemsize)
     return pl.pallas_call(
-        functools.partial(_spatial_kernel, groups=groups),
+        _spatial_kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wd, feats), x.dtype),
-        grid=grid,
+        grid=(pairs, n // tn),
         in_specs=[
-            pl.BlockSpec((tn, h, wd, c), lambda nb: (nb, 0, 0, 0),
+            pl.BlockSpec((tn, h, wd, _LANES), lambda pg, nb: (nb, 0, 0, pg),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cpg, feats), lambda nb: (0, 0, 0, 0),
+            pl.BlockSpec((1, 3 * _LANES, 3 * _LANES),
+                         lambda pg, nb: (pg, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tn, h, wd, feats), lambda nb: (nb, 0, 0, 0),
+        out_specs=pl.BlockSpec((tn, h, wd, _LANES),
+                               lambda pg, nb: (nb, 0, 0, pg),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tn, h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((m, 9 * cpg), x.dtype),
-        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wd * feats * 9 * cpg,
-            bytes_accessed=(x.size + w.size + n * h * wd * feats)
+            flops=2 * n * h * (wd + 2) * pairs * (3 * _LANES) ** 2,
+            bytes_accessed=(x.size + wc.size + n * h * wd * feats)
             * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, w)
+    )(x, wc)
 
 
-def _spatial_kernel_dma(x_ref, w_ref, o_ref, xp_ref, cols_ref, y_ref,
-                        sems, *, groups: int):
-    """im2col via DMA instead of VPU shuffles: the 9 tap copies are
-    strided rectangular VMEM->VMEM DMAs (hardware-native), so the dot
-    reads a fully contiguous (m, 9*cpg) buffer and the only vector-unit
-    work is the matmul itself."""
-    tn, h, w, c = x_ref.shape
-    cpg = c // groups
-    opg = o_ref.shape[-1] // groups
-    m = tn * h * w
-    xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[:, 1:h + 1, 1:w + 1, :] = x_ref[:]
-    wall = w_ref[:].reshape(9 * cpg, o_ref.shape[-1])
-    for g in range(groups):
-        copies = []
-        for t, (dy, dx) in enumerate(TAPS):
-            dma = pltpu.make_async_copy(
-                xp_ref.at[:, dy:dy + h, dx:dx + w,
-                          g * cpg:(g + 1) * cpg],
-                cols_ref.at[:, :, :, t * cpg:(t + 1) * cpg],
-                sems.at[t])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
-            dma.wait()
-        y = jnp.dot(cols_ref[:].reshape(m, 9 * cpg),
-                    wall[:, g * opg:(g + 1) * opg],
-                    preferred_element_type=jnp.float32)
-        y_ref[:] = y.astype(y_ref.dtype).reshape(tn, h, w, opg)
-        out_dma = pltpu.make_async_copy(
-            y_ref, o_ref.at[:, :, :, g * opg:(g + 1) * opg], sems.at[0])
-        out_dma.start()
-        out_dma.wait()
-
-
-def _pallas_spatial_dma(x, w, *, groups: int, interpret: bool = False):
-    n, h, wd, c = x.shape
-    cpg = c // groups
-    feats = w.shape[-1]
-    tn = _pick_tile(n, h, wd, c, x.dtype.itemsize)
-    m = tn * h * wd
-    return pl.pallas_call(
-        functools.partial(_spatial_kernel_dma, groups=groups),
-        out_shape=jax.ShapeDtypeStruct((n, h, wd, feats), x.dtype),
-        grid=(n // tn,),
-        in_specs=[
-            pl.BlockSpec((tn, h, wd, c), lambda nb: (nb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cpg, feats), lambda nb: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tn, h, wd, feats), lambda nb: (nb, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tn, h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((tn, h, wd, 9 * cpg), x.dtype),
-            pltpu.VMEM((tn, h, wd, feats // groups), x.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wd * feats * 9 * cpg,
-            bytes_accessed=(x.size + w.size + n * h * wd * feats)
-            * x.dtype.itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )(x, w)
-
-
-def _wgrad_kernel(x_ref, y_ref, o_ref, xp_ref, cols_ref, acc_ref, *,
-                  groups: int):
-    tn, h, w, c = x_ref.shape
-    cpg = c // groups
-    feats = y_ref.shape[-1]
-    opg = feats // groups
-    m = tn * h * w
-    nb = pl.program_id(0)
+def _wgrad_kernel(x_ref, y_ref, o_ref, acc_ref):
+    tn, h, w, _ = x_ref.shape
+    m2 = tn * h * (w + 2)
+    nb = pl.program_id(1)
 
     @pl.when(nb == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[:, 1:h + 1, 1:w + 1, :] = x_ref[:]
-    for g in range(groups):
-        for t, (dy, dx) in enumerate(TAPS):
-            cols_ref[:, t * cpg:(t + 1) * cpg] = (
-                xp_ref[:, dy:dy + h, dx:dx + w, g * cpg:(g + 1) * cpg]
-                .reshape(m, cpg))
-        yg = y_ref[:, :, :, g * opg:(g + 1) * opg].reshape(m, opg)
-        dw = lax.dot_general(cols_ref[:], yg, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        acc_ref[:, g * opg:(g + 1) * opg] += dw
+    xp = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows3 = jnp.concatenate([xp[:, dy:dy + h, :, :] for dy in range(3)],
+                            axis=-1)
+    ypad3 = jnp.concatenate(
+        [jnp.pad(y_ref[:], ((0, 0), (0, 0), (dx, 2 - dx), (0, 0)))
+         for dx in range(3)], axis=-1)
+    dw = lax.dot_general(rows3.reshape(m2, 3 * _LANES),
+                         ypad3.reshape(m2, 3 * _LANES),
+                         (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    acc_ref[:] += dw
 
-    @pl.when(nb == pl.num_programs(0) - 1)
+    @pl.when(nb == pl.num_programs(1) - 1)
     def _():
-        # acc rows are t*cpg + c with t = dy*3 + dx (TAPS order), columns
-        # are g*opg + o — exactly the flattened HWIO layout
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype).reshape(3, 3, cpg, feats)
+        o_ref[0] = acc_ref[:]
 
 
 def _pallas_wgrad(x, ybar, *, groups: int, interpret: bool = False):
     n, h, wd, c = x.shape
     cpg = c // groups
     feats = ybar.shape[-1]
-    opg = feats // groups
-    tn = _pick_tile(n, h, wd, c, x.dtype.itemsize)
-    m = tn * h * wd
-    grid = (n // tn,)
-    return pl.pallas_call(
-        functools.partial(_wgrad_kernel, groups=groups),
-        out_shape=jax.ShapeDtypeStruct((3, 3, cpg, feats), x.dtype),
-        grid=grid,
+    if not _supported(groups, cpg, feats // groups):
+        return _ref_wgrad(x, ybar, groups=groups)
+    pairs = groups // 2
+    tn = _pick_tile(n, h, wd, x.dtype.itemsize)
+    raw = pl.pallas_call(
+        _wgrad_kernel,
+        out_shape=jax.ShapeDtypeStruct((pairs, 3 * _LANES, 3 * _LANES),
+                                       jnp.float32),
+        grid=(pairs, n // tn),
         in_specs=[
-            pl.BlockSpec((tn, h, wd, c), lambda nb: (nb, 0, 0, 0),
+            pl.BlockSpec((tn, h, wd, _LANES), lambda pg, nb: (nb, 0, 0, pg),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, h, wd, feats), lambda nb: (nb, 0, 0, 0),
+            pl.BlockSpec((tn, h, wd, _LANES), lambda pg, nb: (nb, 0, 0, pg),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, 3, cpg, feats), lambda nb: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 3 * _LANES, 3 * _LANES),
+                               lambda pg, nb: (pg, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tn, h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((m, 9 * cpg), x.dtype),
-            pltpu.VMEM((9 * cpg, feats), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((3 * _LANES, 3 * _LANES), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wd * feats * 9 * cpg,
-            bytes_accessed=(x.size + ybar.size + 9 * cpg * feats)
-            * x.dtype.itemsize,
+            flops=2 * n * h * (wd + 2) * pairs * (3 * _LANES) ** 2,
+            bytes_accessed=(x.size + ybar.size) * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(x, ybar)
+    # extract the same-group (s == t) diagonal blocks:
+    # raw[p, dy*128+s*64+c, dx*128+t*64+o] -> dw[dy,dx,c,(2p+s)*64+o]
+    r7 = raw.reshape(pairs, 3, 2, _CPG, 3, 2, _CPG)
+    eye = jnp.eye(2, dtype=raw.dtype)
+    dw = jnp.einsum("pyscxto,st->yxcpso", r7, eye)
+    return dw.reshape(3, 3, _CPG, feats).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
