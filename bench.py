@@ -158,6 +158,9 @@ def main():
         cfg = cfg.replace(fr_bwd=os.environ["BENCH_FR_BWD"])
     if os.environ.get("BENCH_ITERS"):
         iters = int(os.environ["BENCH_ITERS"])
+    if os.environ.get("BENCH_PALLAS_GCONV"):
+        from multimodal_dataset_distillation_tpu.ops import pallas_gconv
+        pallas_gconv.set_enabled(os.environ["BENCH_PALLAS_GCONV"] == "1")
 
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)

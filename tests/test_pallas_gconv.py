@@ -135,3 +135,60 @@ def test_wsconv_uses_gconv_when_enabled():
     finally:
         pg.set_enabled(False)
     np.testing.assert_allclose(y_off, y_on, rtol=1e-5, atol=1e-5)
+
+
+def test_distill_step_with_primitive_enabled():
+    """The primitive inside the REAL distill engine: forward-HVP custom
+    VJP around a scanned inner loop with a grouped NF student
+    (nf_tiny).  On CPU both paths lower to the same lax conv, so the
+    results must be IDENTICAL — what this buys is coverage of the
+    JVP/transpose rules under the engine's full AD composition (scan,
+    flat carry, custom_vjp, partial-eval UndefinedPrimals)."""
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoder,
+    )
+
+    def run(enabled):
+        pg.set_enabled(enabled)
+        try:
+            cfg = Config(
+                image_encoder="nf_tiny", image_size=32,
+                num_queries=4, syn_steps=2, mini_batch_size=2,
+                lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
+                lr_teacher_img=0.05, lr_teacher_txt=0.05, seed=0)
+            model = VLBiEncoder(image_encoder_name="nf_tiny",
+                                text_embedding=768, image_embedding=128,
+                                proj_dropout=0.0)
+            variables = init_bi_encoder(model, cfg)
+            rng = np.random.RandomState(0)
+            image_syn = rng.randn(4, 32, 32, 3).astype(np.float32)
+            text_syn = rng.randn(4, 768).astype(np.float32)
+            d = Distiller(cfg, model, variables, image_syn, text_syn)
+            from multimodal_dataset_distillation_tpu.utils.flat import (
+                flatten_params,
+            )
+            img_flat, _ = flatten_params(
+                variables["params"]["image_encoder"])
+            txt_flat, _ = flatten_params(
+                variables["params"]["text_projection"])
+            i0 = np.asarray(img_flat)
+            t0 = np.asarray(txt_flat)
+            it = (i0 + 0.01 * rng.randn(*i0.shape)).astype(np.float32)
+            tt = (t0 + 0.01 * rng.randn(*t0.shape)).astype(np.float32)
+            m = d.step(i0, t0, it, tt, d.sample_indices(
+                np.random.RandomState(1)))
+            return (float(m["grand_loss"]),
+                    np.asarray(d.state.image_syn).copy())
+        finally:
+            pg.set_enabled(False)
+
+    loss_off, img_off = run(False)
+    loss_on, img_on = run(True)
+    assert np.isfinite(loss_on)
+    np.testing.assert_allclose(loss_on, loss_off, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(img_on, img_off, rtol=1e-6, atol=1e-6)
