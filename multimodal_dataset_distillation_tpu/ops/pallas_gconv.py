@@ -34,11 +34,9 @@ not tile for).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -48,8 +46,6 @@ try:  # modern public location
     from jax.extend.core import Primitive
 except ImportError:  # pragma: no cover - older jax
     from jax.core import Primitive
-
-TAPS = tuple((dy, dx) for dy in range(3) for dx in range(3))
 
 # trace-time switch: models read this when building the conv (WSConv in
 # models/layers.py).  The CLIs call set_enabled(cfg.pallas_gconv);
