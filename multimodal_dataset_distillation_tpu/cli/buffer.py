@@ -63,18 +63,14 @@ def make_caption_lookup(train_dataset, cfg: Config, cache_dir: str = "."):
 
 
 def main(cfg: Config) -> List[int]:
-    import jax
-
     from multimodal_dataset_distillation_tpu.parallel.mesh import (
         setup_compilation_cache,
     )
     from multimodal_dataset_distillation_tpu.ops import pallas_gconv
 
     setup_compilation_cache()
-    # pallas grouped-conv kernel: single-device only (see cli/distill.py)
-    multi_dev = len(jax.devices()) > 1 or (
-        cfg.mesh_shape and int(np.prod(cfg.mesh_shape)) > 1)
-    pallas_gconv.set_enabled(cfg.pallas_gconv and not multi_dev)
+    # pallas grouped-conv kernel: single-device only (see pallas_gconv.configure)
+    pallas_gconv.configure(cfg)
     logger = RunLogger(name=cfg.name, config=vars(cfg) if hasattr(cfg, "__dict__") else None,
                        disable_wandb=cfg.disable_wandb, log_dir=cfg.save_dir)
     print("Hyper-parameters: \n", cfg)

@@ -75,9 +75,7 @@ def main(cfg: Config):
     setup_compilation_cache()
     # pallas grouped-conv kernel: single-device only (GSPMD cannot
     # partition the pallas call over a >1-device mesh)
-    multi_dev = len(jax.devices()) > 1 or (
-        cfg.mesh_shape and int(np.prod(cfg.mesh_shape)) > 1)
-    pallas_gconv.set_enabled(cfg.pallas_gconv and not multi_dev)
+    pallas_gconv.configure(cfg)
     # reference flag-combination guards (distill_original.py:104-108)
     if cfg.zca and cfg.texture:
         raise AssertionError("Cannot use zca and texture together")

@@ -56,6 +56,7 @@ except ImportError:  # pragma: no cover - older jax
 # CLIs force it off there; single-chip TPU is the bench/production
 # target this kernel serves).
 _ENABLED = False
+_FORCED_OFF = False
 
 
 def set_enabled(on: bool) -> None:
@@ -63,8 +64,24 @@ def set_enabled(on: bool) -> None:
     _ENABLED = bool(on)
 
 
+def configure(cfg) -> None:
+    """CLI entry hook: apply cfg.pallas_gconv, and HARD-disable on any
+    >1-device run — the force-off wins over the env override too, since
+    a partitioned pallas call is a compile error, not a preference."""
+    import math
+
+    import jax
+    global _FORCED_OFF
+    multi_dev = len(jax.devices()) > 1 or (
+        cfg.mesh_shape and math.prod(cfg.mesh_shape) > 1)
+    _FORCED_OFF = bool(multi_dev)
+    set_enabled(cfg.pallas_gconv and not multi_dev)
+
+
 def enabled() -> bool:
     import os
+    if _FORCED_OFF:
+        return False
     env = os.environ.get("MDD_PALLAS_GCONV")
     if env is not None:
         return env == "1"
