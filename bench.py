@@ -35,6 +35,16 @@ that; at a realistic 15% MFU the baseline is 0.24 steps/s and the
 current single-chip number already clears 3x.  We keep the conservative
 denominator.
 
+Why the single-chip number is where it is: DESIGN.md §10-10.1 — the
+profiled step runs at ~103% of its summed per-kernel bytes/FLOP floor
+(XLA model_flops + measured bytes, tools/conv_map.py), the 1x1 convs at
+87-94% of HBM peak, the grouped convs at their MXU-granularity ceiling
+(proven by a purpose-built pallas alternative, ops/pallas_gconv.py —
+parity standalone, OOM in-step), and the stem convs bounded by the
+(8,128) lane tiling of the workload's fixed mb=100.  Every memory-
+shaping lever (remat orientations, residual dtypes, unroll, carry
+formats, dense-groups) is measured in the §10 tables.
+
 Multi-chip (v5e-8) mode — ``BENCH_MESH=8 python bench.py``:
 Runs the IDENTICAL headline step sharded over an 8-device ("data",)
 mesh: inner minibatches split 100 -> 12.5/device is not integral, so the

@@ -199,6 +199,8 @@ def main():
     by_sig_t = collections.Counter()
     by_sig_b = collections.Counter()
     by_sig_n = collections.Counter()
+    by_sig_f = collections.Counter()
+    by_sig_mxu = collections.Counter()
     unmatched_t = 0
     # per-kernel roofline floor over the WHOLE program:
     #   floor_k = max(bytes_k / 819 GB/s, model_flops_k / 197 TFLOPS)
@@ -239,6 +241,9 @@ def main():
             by_sig_t[sig] += dur
             by_sig_b[sig] += byts
             by_sig_n[sig] += 1
+            by_sig_f[sig] += fl
+            if flops / MXU_PEAK > byts / HBM_PEAK:
+                by_sig_mxu[sig] += fl
     print(f"\n== per-kernel roofline floor (819 GB/s HBM, 197 TFLOPS bf16) ==")
     print(f"all kernels : floor {floor_us/k/1e3:7.0f} ms/step   measured "
           f"{meas_us/k/1e3:7.0f} ms/step   achieved "
@@ -251,16 +256,20 @@ def main():
     tot = sum(by_sig_t.values())
     print(f"\nmatched conv-fusion time: {tot/k/1e3:.0f} ms/step "
           f"(unmatched {unmatched_t/k/1e3:.0f} ms)")
-    print(f"{'ms/st':>7} {'GiB':>6} {'GB/s':>5} {'x':>5}  convs inside")
+    print(f"{'ms/st':>7} {'GiB':>6} {'GB/s':>5} {'ach%':>5} {'mxu':>4} "
+          f"{'x':>5}  convs inside")
     for sig, us in by_sig_t.most_common(40):
         b = by_sig_b[sig]
         gbps = (b / 2**30 * 1.074) / (us / 1e6) if us else 0
+        ach = by_sig_f[sig] / max(us, 1)
+        mxu_share = by_sig_mxu[sig] / max(by_sig_f[sig], 1)
         desc = "; ".join(
             f"{c}x {shape} fgc={fgc}" + (f" bgc={bgc}" if bgc > 1 else "")
             + (f" win[{win[:40]}]" if win else "")
             for (shape, win, dn, fgc, bgc, fl), c in sig)
-        print(f"{us/k/1e3:7.1f} {b/k/2**30:6.1f} {gbps:5.0f} "
-              f"{by_sig_n[sig]//k:5d}  {desc[:130]}")
+        print(f"{us/k/1e3:7.1f} {b/k/2**30:6.1f} {gbps:5.0f} {ach:5.0%} "
+              f"{'MXU' if mxu_share > 0.5 else '':>4} "
+              f"{by_sig_n[sig]//k:5d}  {desc[:120]}")
 
 
 if __name__ == "__main__":
