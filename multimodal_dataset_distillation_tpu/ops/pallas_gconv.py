@@ -60,8 +60,13 @@ _FORCED_OFF = False
 
 
 def set_enabled(on: bool) -> None:
-    global _ENABLED
+    """Manual override — also clears any configure()-set force-off (the
+    caller takes responsibility for the device context; tests and
+    bench.py use this on single-chip setups after a CLI may have
+    configured for a multi-device one in the same process)."""
+    global _ENABLED, _FORCED_OFF
     _ENABLED = bool(on)
+    _FORCED_OFF = False
 
 
 def configure(cfg) -> None:
@@ -74,8 +79,8 @@ def configure(cfg) -> None:
     global _FORCED_OFF
     multi_dev = len(jax.devices()) > 1 or (
         cfg.mesh_shape and math.prod(cfg.mesh_shape) > 1)
-    _FORCED_OFF = bool(multi_dev)
     set_enabled(cfg.pallas_gconv and not multi_dev)
+    _FORCED_OFF = bool(multi_dev)
 
 
 def enabled() -> bool:

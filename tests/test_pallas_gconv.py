@@ -192,3 +192,27 @@ def test_distill_step_with_primitive_enabled():
     assert np.isfinite(loss_on)
     np.testing.assert_allclose(loss_on, loss_off, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(img_on, img_off, rtol=1e-6, atol=1e-6)
+
+
+def test_gate_configure_then_manual_enable():
+    """In-suite ordering regression: a CLI-driving test calls
+    configure() on the 8-virtual-device host (-> force-off), and a later
+    test's set_enabled(True) must still win — manual override clears the
+    force-off, while an ACTIVE force-off beats the env var."""
+    import os
+
+    from multimodal_dataset_distillation_tpu.config import Config
+
+    try:
+        pg.configure(Config())           # 8 virtual devices -> force-off
+        assert not pg.enabled()
+        pg.set_enabled(True)
+        assert pg.enabled()
+        pg.configure(Config())
+        os.environ["MDD_PALLAS_GCONV"] = "1"
+        try:
+            assert not pg.enabled()      # env cannot defeat force-off
+        finally:
+            del os.environ["MDD_PALLAS_GCONV"]
+    finally:
+        pg.set_enabled(False)
