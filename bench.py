@@ -171,6 +171,9 @@ def main():
     if os.environ.get("BENCH_PALLAS_GCONV"):
         from multimodal_dataset_distillation_tpu.ops import pallas_gconv
         pallas_gconv.set_enabled(os.environ["BENCH_PALLAS_GCONV"] == "1")
+    if os.environ.get("BENCH_STEM_S2D"):
+        from multimodal_dataset_distillation_tpu.ops import s2d
+        s2d.set_enabled(os.environ["BENCH_STEM_S2D"] == "1")
 
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)

@@ -67,10 +67,12 @@ def main(cfg: Config) -> List[int]:
         setup_compilation_cache,
     )
     from multimodal_dataset_distillation_tpu.ops import pallas_gconv
+    from multimodal_dataset_distillation_tpu.ops import s2d
 
     setup_compilation_cache()
     # pallas grouped-conv kernel: single-device only (see pallas_gconv.configure)
     pallas_gconv.configure(cfg)
+    s2d.configure(cfg)
     logger = RunLogger(name=cfg.name, config=vars(cfg) if hasattr(cfg, "__dict__") else None,
                        disable_wandb=cfg.disable_wandb, log_dir=cfg.save_dir)
     print("Hyper-parameters: \n", cfg)

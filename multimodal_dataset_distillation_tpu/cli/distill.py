@@ -71,11 +71,13 @@ def main(cfg: Config):
         setup_compilation_cache,
     )
     from multimodal_dataset_distillation_tpu.ops import pallas_gconv
+    from multimodal_dataset_distillation_tpu.ops import s2d
 
     setup_compilation_cache()
     # pallas grouped-conv kernel: single-device only (GSPMD cannot
     # partition the pallas call over a >1-device mesh)
     pallas_gconv.configure(cfg)
+    s2d.configure(cfg)
     # reference flag-combination guards (distill_original.py:104-108)
     if cfg.zca and cfg.texture:
         raise AssertionError("Cannot use zca and texture together")

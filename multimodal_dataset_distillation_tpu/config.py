@@ -232,6 +232,12 @@ class Config:
     # active (GSPMD cannot partition the pallas call).  Env override:
     # MDD_PALLAS_GCONV=0/1.
     pallas_gconv: bool = False
+    # run NF deep_quad stems in space-to-depth coordinates (ops/s2d.py):
+    # exact-math layout rewrite that defeats the batch-minor lane
+    # padding XLA picks for the narrow-channel 112^2 stem convs.  Same
+    # parameter tree, same outputs (float-reassociation tolerance).
+    # Env override for A/B: MDD_STEM_S2D=1.
+    stem_s2d: bool = False
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import pallas_gconv
+from ..ops import s2d as _s2d
 
 # Expected gain of x -> act(x) under x~N(0,1); used by NF nets to preserve
 # unit variance without normalization layers ("normalizer-free" recipe,
@@ -78,10 +79,19 @@ class WSConv(nn.Module):
     gamma: float = 1.0
     eps: float = 1e-6
     dtype: Any = None
+    # Space-to-depth mode (ops/s2d.py): when s2d_in > 1 the input is
+    # expected in s2d(s2d_in) layout and the output is produced in
+    # s2d(s2d_out) layout; `strides`/`kernel_size` keep their ORIGINAL
+    # grid meaning and the parameter tree is unchanged — the
+    # standardized kernel is rearranged at apply time (exact math).
+    s2d_in: int = 1
+    s2d_out: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
+        if self.s2d_in > 1:
+            in_ch = in_ch // (self.s2d_in * self.s2d_in)
         kshape = (*self.kernel_size, in_ch // self.feature_group_count,
                   self.features)
         w = self.param("kernel", nn.initializers.he_normal(), kshape, jnp.float32)
@@ -95,6 +105,26 @@ class WSConv(nn.Module):
         if self.dtype is not None:
             w = w.astype(self.dtype)
             x = x.astype(self.dtype)
+        if self.s2d_in > 1:
+            assert groups == 1, "s2d mode is for the (ungrouped) stem convs"
+            assert self.padding == "SAME" and self.strides[0] == self.strides[1]
+            w2 = _s2d.rearrange_kernel(
+                w, self.strides[0], self.s2d_in, self.s2d_out)
+            pl, ph = _s2d.block_padding(
+                self.kernel_size[0], self.strides[0], self.s2d_in,
+                self.s2d_out)
+            y = jax.lax.conv_general_dilated(
+                x, w2,
+                window_strides=(1, 1),
+                padding=((pl, ph), (pl, ph)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                bt = jnp.tile(b, self.s2d_out * self.s2d_out)
+                y = y + bt.astype(y.dtype)
+            return y
         if (groups > 1 and self.kernel_size == (3, 3)
                 and self.strides == (1, 1) and self.padding == "SAME"
                 and pallas_gconv.enabled()):

@@ -40,6 +40,7 @@ from multimodal_dataset_distillation_tpu.models.layers import (
     gamma_act,
     NONLIN_GAMMA,
 )
+from multimodal_dataset_distillation_tpu.ops import s2d
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,13 +164,34 @@ class NormFreeNet(nn.Module):
         # ---- stem ----
         if cfg.stem_type == "deep_quad":
             c = cfg.stem_chs
-            x = WSConv(c // 8, (3, 3), strides=(2, 2), name="stem_conv1")(x)
-            x = act(x)
-            x = WSConv(c // 4, (3, 3), name="stem_conv2")(x)
-            x = act(x)
-            x = WSConv(c // 2, (3, 3), name="stem_conv3")(x)
-            x = act(x)
-            x = WSConv(c, (3, 3), strides=(2, 2), name="stem_conv4")(x)
+            if s2d.enabled() and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+                # space-to-depth stem (ops/s2d.py): exact-math layout
+                # rewrite — all four convs run on the H/4 block grid with
+                # 4x/16x channels, defeating the batch-minor lane padding
+                # XLA picks for 16-64-channel 112^2 tensors (DESIGN.md
+                # §10.1 "stem" class).  Same params, same outputs; acts
+                # are elementwise so they commute with the layout.
+                x = s2d.space_to_depth(x, 4)
+                x = WSConv(c // 8, (3, 3), strides=(2, 2), s2d_in=4,
+                           s2d_out=2, name="stem_conv1")(x)
+                x = act(x)
+                x = WSConv(c // 4, (3, 3), s2d_in=2, s2d_out=2,
+                           name="stem_conv2")(x)
+                x = act(x)
+                x = WSConv(c // 2, (3, 3), s2d_in=2, s2d_out=2,
+                           name="stem_conv3")(x)
+                x = act(x)
+                x = WSConv(c, (3, 3), strides=(2, 2), s2d_in=2, s2d_out=1,
+                           name="stem_conv4")(x)
+            else:
+                x = WSConv(c // 8, (3, 3), strides=(2, 2),
+                           name="stem_conv1")(x)
+                x = act(x)
+                x = WSConv(c // 4, (3, 3), name="stem_conv2")(x)
+                x = act(x)
+                x = WSConv(c // 2, (3, 3), name="stem_conv3")(x)
+                x = act(x)
+                x = WSConv(c, (3, 3), strides=(2, 2), name="stem_conv4")(x)
         elif cfg.stem_type == "7x7_pool":
             x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2), name="stem_conv")(x)
             x = act(x)
