@@ -178,3 +178,59 @@ def test_distill_step_with_s2d_stem():
     assert np.isfinite(loss_on)
     np.testing.assert_allclose(loss_on, loss_off, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(img_on, img_off, rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_gspmd_sharded_step():
+    """Unlike the pallas gconv (single-device only), the s2d path is
+    plain lax convs, so GSPMD must be able to partition it: the distill
+    step with the s2d stem on an 8-device mesh (shard_syn sharding the
+    query axis) must run and match the unsharded s2d run exactly-ish."""
+    from multimodal_dataset_distillation_tpu.config import Config
+    from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        init_bi_encoder,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoder,
+    )
+    from multimodal_dataset_distillation_tpu.parallel.mesh import get_mesh
+    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+    def run(mesh):
+        s2d.set_enabled(True)
+        try:
+            cfg = Config(
+                image_encoder="nf_tiny", image_size=32,
+                num_queries=8, syn_steps=2, mini_batch_size=8,
+                lr_img=10.0, lr_txt=10.0, lr_lr=1e-2,
+                lr_teacher_img=0.05, lr_teacher_txt=0.05, seed=0,
+                shard_syn=mesh is not None)
+            model = VLBiEncoder(image_encoder_name="nf_tiny",
+                                text_embedding=768, image_embedding=128,
+                                proj_dropout=0.0)
+            variables = init_bi_encoder(model, cfg)
+            rng = np.random.RandomState(0)
+            image_syn = rng.randn(8, 32, 32, 3).astype(np.float32)
+            text_syn = rng.randn(8, 768).astype(np.float32)
+            d = Distiller(cfg, model, variables, image_syn, text_syn,
+                          mesh=mesh)
+            img_flat, _ = flatten_params(
+                variables["params"]["image_encoder"])
+            txt_flat, _ = flatten_params(
+                variables["params"]["text_projection"])
+            i0 = np.asarray(img_flat)
+            t0 = np.asarray(txt_flat)
+            it = (i0 + 0.01 * rng.randn(*i0.shape)).astype(np.float32)
+            tt = (t0 + 0.01 * rng.randn(*t0.shape)).astype(np.float32)
+            m = d.step(i0, t0, it, tt, d.sample_indices(
+                np.random.RandomState(1)))
+            return (float(m["grand_loss"]),
+                    np.asarray(d.state.image_syn).copy())
+        finally:
+            s2d.set_enabled(False)
+
+    loss_1, img_1 = run(None)
+    loss_8, img_8 = run(get_mesh((8,), ("data",)))
+    assert np.isfinite(loss_8)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(img_8, img_1, rtol=1e-4, atol=1e-5)
