@@ -193,11 +193,27 @@ class NormFreeNet(nn.Module):
                 x = act(x)
                 x = WSConv(c, (3, 3), strides=(2, 2), name="stem_conv4")(x)
         elif cfg.stem_type == "7x7_pool":
-            x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2), name="stem_conv")(x)
+            if s2d.enabled() and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                # same lane-padding economics as deep_quad, one conv:
+                # the 3->64ch 7x7/s2 is the lone narrow-channel kernel
+                # here (the max_pool after it already sees 64 channels),
+                # so run it s2d(2)-in -> native-layout out at H/2
+                x = s2d.space_to_depth(x, 2)
+                x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2), s2d_in=2,
+                           s2d_out=1, name="stem_conv")(x)
+            else:
+                x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2),
+                           name="stem_conv")(x)
             x = act(x)
             x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
         elif cfg.stem_type == "3x3":
-            x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2), name="stem_conv")(x)
+            if s2d.enabled() and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                x = s2d.space_to_depth(x, 2)
+                x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2), s2d_in=2,
+                           s2d_out=1, name="stem_conv")(x)
+            else:
+                x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2),
+                           name="stem_conv")(x)
         else:
             raise ValueError(cfg.stem_type)
         # stage boundaries are tagged for jax.checkpoint's

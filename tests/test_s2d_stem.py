@@ -84,6 +84,70 @@ def test_rearranged_conv_grads_match(stride, fi, fo, cin, cout):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+# the single-conv stems of the other two NF zoo members (reference
+# builds them via timm: nf_resnet50 7x7/s2 + pool, nf_regnet_b1 3x3/s2 —
+# networks.py:670-672): (k, stride, fi, fo, cin, cout)
+OTHER_STEM_GEOMS = [
+    (7, 2, 2, 1, 3, 64),   # nf_resnet50 stem_conv (pre-pool)
+    (3, 2, 2, 1, 3, 40),   # nf_regnet_b1 stem_conv
+]
+
+
+@pytest.mark.parametrize("k,stride,fi,fo,cin,cout", OTHER_STEM_GEOMS)
+def test_rearranged_conv_matches_tf_same_other_stems(k, stride, fi, fo,
+                                                     cin, cout):
+    rs = np.random.RandomState(k)
+    H = 16
+    x = jnp.asarray(rs.randn(2, H, H, cin), jnp.float32)
+    w = jnp.asarray(rs.randn(k, k, cin, cout) * 0.1, jnp.float32)
+    y_ref = _ref_conv(x, w, stride)
+    y = _s2d_conv(s2d.space_to_depth(x, fi), w, stride, fi, fo)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def _tiny_cfg(stem_type):
+    import dataclasses
+
+    from multimodal_dataset_distillation_tpu.models import nfnet
+
+    return dataclasses.replace(
+        nfnet.NF_TINY, stem_type=stem_type,
+        stem_chs=8 if stem_type == "7x7_pool" else 8,
+        group_size=8 if stem_type == "3x3" else nfnet.NF_TINY.group_size)
+
+
+@pytest.mark.parametrize("stem_type", ["7x7_pool", "3x3"])
+def test_other_stem_model_parity(stem_type):
+    """Model-level fwd + image-grad parity for the non-deep_quad stems
+    (--stem_s2d must be a pure layout choice for the whole NF zoo)."""
+    from multimodal_dataset_distillation_tpu.models import nfnet
+
+    model = nfnet.NormFreeNet(_tiny_cfg(stem_type))
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, 3),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def run(enabled):
+        s2d.set_enabled(enabled)
+        try:
+            p2 = model.init(jax.random.PRNGKey(0), x)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(a, b),
+                params, p2)
+            y = model.apply(params, x)
+            g = jax.grad(
+                lambda xx: jnp.sum(model.apply(params, xx) ** 2))(x)
+            return np.asarray(y), np.asarray(g)
+        finally:
+            s2d.set_enabled(False)
+
+    y_off, g_off = run(False)
+    y_on, g_on = run(True)
+    np.testing.assert_allclose(y_on, y_off, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g_on, g_off, rtol=1e-4, atol=1e-4)
+
+
 def _nf_tiny_fwd(enabled, H=32, grad=False):
     from multimodal_dataset_distillation_tpu.models import nfnet
 
