@@ -232,7 +232,8 @@ class Config:
     # active (GSPMD cannot partition the pallas call).  Env override:
     # MDD_PALLAS_GCONV=0/1.
     pallas_gconv: bool = False
-    # run NF deep_quad stems in space-to-depth coordinates (ops/s2d.py):
+    # run NF stems (deep_quad/7x7_pool/3x3) in space-to-depth
+    # coordinates (ops/s2d.py):
     # exact-math layout rewrite that defeats the batch-minor lane
     # padding XLA picks for the narrow-channel 112^2 stem convs.  Same
     # parameter tree, same outputs (float-reassociation tolerance).
