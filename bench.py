@@ -64,6 +64,7 @@ when a v5e-8 slice is attached.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -72,7 +73,45 @@ import numpy as np
 A100_REF_STEPS_PER_SEC = 0.35  # estimated PyTorch reference on A100 (see doc)
 
 
+def _tpu_reachable_or_fallback():
+    """Guard against a hung axon tunnel.
+
+    On this host jax is pinned to a remote TPU via the axon
+    sitecustomize; when the tunnel is down, ``jax.devices()`` blocks
+    indefinitely inside backend init (observed: >9 min with no error).
+    Probe device acquisition in a SUBPROCESS with a timeout; if it
+    fails, re-exec ourselves on plain CPU so the bench always emits its
+    JSON line (CPU-scaled config, vs_baseline=null) instead of hanging
+    the driver.  Skipped when the probe already ran (re-exec marker),
+    when the sitecustomize isn't active, or BENCH_NO_PROBE=1.
+    """
+    if os.environ.get("_BENCH_PROBED") or os.environ.get("BENCH_NO_PROBE"):
+        return
+    if "axon" not in os.environ.get("PYTHONPATH", ""):
+        return  # plain jax install: devices() returns or raises promptly
+    timeout = float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "300"))
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 1)"],
+            timeout=timeout, capture_output=True).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc == 0:
+        os.environ["_BENCH_PROBED"] = "1"
+        return
+    print(f"TPU unreachable (probe rc={rc}, timeout={timeout:.0f}s) — "
+          f"falling back to CPU-scaled config", file=sys.stderr)
+    env = dict(os.environ)
+    env.update({"_BENCH_PROBED": "1", "PYTHONPATH": "",
+                "JAX_PLATFORMS": "cpu"})
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
 def main():
+    _tpu_reachable_or_fallback()
     import jax
     import jax.numpy as jnp
 
