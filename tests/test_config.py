@@ -34,6 +34,14 @@ def test_store_true_flags():
     assert cfg.zca and cfg.decay and cfg.disable_wandb
 
 
+def test_perf_knob_flags():
+    cfg = parse_config(["--stem_s2d=True", "--scan_unroll=4",
+                        "--hvp_mode=forward"])
+    assert cfg.stem_s2d is True
+    assert cfg.scan_unroll == 4
+    assert parse_config([]).stem_s2d is False  # default off
+
+
 def test_embedding_dims_table():
     # networks.py:810-826 conventions
     assert Config(image_encoder="nfnet").image_embedding == 2304
