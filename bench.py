@@ -43,7 +43,10 @@ profiled step runs at ~103% of its summed per-kernel bytes/FLOP floor
 parity standalone, OOM in-step), and the stem convs bounded by the
 (8,128) lane tiling of the workload's fixed mb=100.  Every memory-
 shaping lever (remat orientations, residual dtypes, unroll, carry
-formats, dense-groups) is measured in the §10 tables.
+formats, dense-groups) is measured in the §10 tables, and the XLA
+scheduler's own knobs (memory limit, latency-hiding off, copy-cost
+scaling) are swept in §10's scheduler table — all neutral, proving the
+spill DMA is fully overlapped and the step sits at its conv ceiling.
 
 Multi-chip (v5e-8) mode — ``BENCH_MESH=8 python bench.py``:
 Runs the IDENTICAL headline step sharded over an 8-device ("data",)
