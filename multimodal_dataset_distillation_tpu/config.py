@@ -239,6 +239,16 @@ class Config:
     # parameter tree, same outputs (float-reassociation tolerance).
     # Env override for A/B: MDD_STEM_S2D=1.
     stem_s2d: bool = False
+    # merged-tangent conv rule in the forward-HVP backward
+    # (ops/fused_jvp.py): the share-x {primal, weight-tangent} conv pair
+    # of the inner jvp becomes ONE conv with per-group doubled output
+    # channels — one fewer activation read per conv site in the tangent
+    # forward and its transpose, and the NF grouped 3x3s run 128 lanes
+    # wide instead of 64 on the 128-lane MXU.  Exact math (per-output-
+    # channel conv arithmetic is independent of the other channels;
+    # f64-parity tested).  Applies only when hvp_mode="forward" and
+    # fr_bwd="rof".  Env override for A/B: MDD_FUSED_JVP=0/1.
+    fused_jvp: bool = False
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

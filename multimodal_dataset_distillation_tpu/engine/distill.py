@@ -335,6 +335,18 @@ class Distiller:
         #     is ~the plain gradient's.  x/y/lr tangents are literal
         #     zeros, which XLA's algebraic simplifier folds away.
         fr_bwd_mode = getattr(cfg, "fr_bwd", "rof")
+        # --fused_jvp: while tracing the inner jvp of the rof backward,
+        # WSConv routes through the merged-tangent conv rule
+        # (ops/fused_jvp.py): the share-x {primal, weight-tangent} conv
+        # pair becomes ONE conv with per-group doubled output channels —
+        # fewer activation reads in the tangent forward AND its
+        # transpose, and 128-wide grouped convs on the 128-lane MXU.
+        # rof-only: the merged rule needs concrete tangents (plain
+        # linearize through it cannot separate the primal — see module
+        # docstring), which "for" mode's jvp-through-grad does not give
+        # at the conv sites.
+        from ..ops import fused_jvp as _fjvp
+        use_fused_jvp = _fjvp.resolve(cfg) and fr_bwd_mode == "rof"
 
         def fr_core_bwd(res, cot):
             lr_i, lr_t, x, y, thi, tht, ki, kt, gi, gt = res
@@ -360,9 +372,11 @@ class Distiller:
                     # tangents only on (thi, tht): x/y/lr ride in by
                     # closure, so no zero-tangent JVP is propagated
                     # through the towers
-                    _, dh = jax.jvp(
-                        lambda a, b: closs_fr(a, b, x_, y_, lr_i_, ki, kt),
-                        (thi_, tht_), (vi, vt))
+                    with _fjvp.activate(use_fused_jvp):
+                        _, dh = jax.jvp(
+                            lambda a, b: closs_fr(a, b, x_, y_, lr_i_,
+                                                  ki, kt),
+                            (thi_, tht_), (vi, vt))
                     return dh
 
                 hgi, hgt, hx, hy, hlr = jax.grad(

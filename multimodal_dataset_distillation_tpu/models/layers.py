@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import fused_jvp
 from ..ops import pallas_gconv
 from ..ops import s2d as _s2d
 
@@ -133,6 +134,12 @@ class WSConv(nn.Module):
             # pallas im2col kernel is exact-same-math and arbitrary-order
             # differentiable (ops/pallas_gconv.py)
             y = pallas_gconv.gconv3x3(x, w, groups)
+        elif fused_jvp.active():
+            # meta-backward tangent trace: merged-tangent conv rule
+            # (one conv for the share-x {primal, weight-tangent} pair;
+            # ops/fused_jvp.py) — only active while the distiller traces
+            # the inner jvp of the forward-HVP backward
+            y = fused_jvp.conv(x, w, self.strides, self.padding, groups)
         else:
             y = jax.lax.conv_general_dilated(
                 x, w,
