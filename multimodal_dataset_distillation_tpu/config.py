@@ -248,7 +248,9 @@ class Config:
     # channel conv arithmetic is independent of the other channels;
     # f64-parity tested).  Applies only when hvp_mode="forward" and
     # fr_bwd="rof".  Env override for A/B: MDD_FUSED_JVP=0/1.
-    fused_jvp: bool = False
+    # Default ON since the v5e-1 headline A/B: 0.8685 steps/s vs 0.8562
+    # plain (+1.4%), temps 15 607 -> 14 792 MiB (DESIGN.md §10).
+    fused_jvp: bool = True
     # device mesh shape; data axis shards batches, model axis reserved.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ("data",)

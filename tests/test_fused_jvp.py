@@ -113,12 +113,13 @@ def test_activate_scoping():
 def test_resolve_env_override(monkeypatch):
     from multimodal_dataset_distillation_tpu.config import Config
 
-    assert not fused_jvp.resolve(Config())
+    assert fused_jvp.resolve(Config())          # default ON (DESIGN §10 A/B)
+    assert not fused_jvp.resolve(Config(fused_jvp=False))
     assert fused_jvp.resolve(Config(fused_jvp=True))
     monkeypatch.setenv("MDD_FUSED_JVP", "0")
     assert not fused_jvp.resolve(Config(fused_jvp=True))
     monkeypatch.setenv("MDD_FUSED_JVP", "1")
-    assert fused_jvp.resolve(Config())
+    assert fused_jvp.resolve(Config(fused_jvp=False))
 
 
 def _nf_tiny_meta_grads(fused: bool):
