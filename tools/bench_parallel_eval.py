@@ -54,13 +54,16 @@ def main():
     var_list = [init_bi_encoder(model, cfg.replace(seed=cfg.seed + 1000 + j))
                 for j in range(num_eval)]
     rng = np.random.RandomState(0)
+    # text dims must follow the built model (the tiny offline text
+    # config is 128-d, not BERT-base's 768)
+    tdim = model.text_embedding
     images = rng.randn(100, 224, 224, 3).astype(np.float32)
-    texts = rng.randn(100, 768).astype(np.float32)
+    texts = rng.randn(100, tdim).astype(np.float32)
     ds = SyntheticVLEval(n_test, make_test_transform(224), image_size=224,
                          seed=1)
     testloader = Loader(ds, batch_size=cfg.batch_size_test, shuffle=False,
                         drop_last=False, num_workers=2)
-    bert_test = rng.randn(len(ds.text), 768).astype(np.float32)
+    bert_test = rng.randn(len(ds.text), tdim).astype(np.float32)
 
     def run_seq():
         out = []
