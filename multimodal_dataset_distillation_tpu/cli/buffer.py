@@ -231,6 +231,22 @@ def _run_parallel(cfg: Config, save_dir, trainloader, testloader,
         model = build_bi_encoder(cfg)
         var_list = [init_bi_encoder(model, cfg.replace(seed=cfg.seed + it0 + j))
                     for j in range(k)]
+        if cfg.image_pretrained:
+            # same pretrained import as the sequential path — without it,
+            # --parallel_experts buffers would silently start from random
+            # towers while --parallel_experts=1 buffers start pretrained
+            from multimodal_dataset_distillation_tpu.models.import_torch import (
+                maybe_load_pretrained_image_tower,
+            )
+
+            loaded = []
+            for j in range(k):
+                var_list[j], ckpt = maybe_load_pretrained_image_tower(
+                    var_list[j], cfg.image_encoder)
+                loaded.append(ckpt)
+            if loaded[0]:
+                print(f"Loaded pretrained image tower from {loaded[0]} "
+                      f"(all {k} parallel experts)")
         trainer = ParallelExpertTrainer(
             model, var_list, lr_img=cfg.lr_teacher_img,
             lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,

@@ -185,10 +185,15 @@ def main(cfg: Config):
     _eval_sd = None
     if cfg.image_pretrained:
         from multimodal_dataset_distillation_tpu.models.import_torch import (
+            _TIMM_CKPT_NAMES,
             find_local_timm_checkpoint,
         )
 
-        _ckpt = find_local_timm_checkpoint(cfg.image_encoder)
+        # same arch gate as maybe_load_pretrained_image_tower: a generic
+        # $MDD_TIMM_CKPT must not be force-fed to a non-timm encoder
+        # (load_image_tower_weights has no mapping for convnet/vit/...)
+        _ckpt = (find_local_timm_checkpoint(cfg.image_encoder)
+                 if cfg.image_encoder in _TIMM_CKPT_NAMES else None)
         if _ckpt:
             import torch as _torch
 

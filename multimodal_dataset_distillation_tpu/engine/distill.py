@@ -283,6 +283,19 @@ class Distiller:
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         }
         _frr = getattr(cfg, "fr_remat", "none")
+        if _frr == "names" and not str(
+                getattr(cfg, "image_encoder", "")).startswith(
+                    ("nfnet", "nf_")):
+            # the name tags live in models/nfnet.py only; for untagged
+            # encoders save_only_these_names matches nothing and the
+            # "middle-ground" knob silently degrades to full replay
+            import warnings
+
+            warnings.warn(
+                f"--fr_remat=names saves NF checkpoint_name tags, but "
+                f"image_encoder={cfg.image_encoder!r} has none — the "
+                f"policy degrades to 'full' (save nothing, replay all)",
+                stacklevel=2)
         if _fr_policies.get(_frr, "off") != "off":
             closs_fr = jax.checkpoint(closs, policy=_fr_policies[_frr],
                                       prevent_cse=False)
@@ -794,23 +807,32 @@ class ExpertCycler:
 
 def get_images_texts(n: int, dataset, text_encoder,
                      rng: Optional[np.random.RandomState] = None,
-                     num_workers: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+                     num_workers: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Sample n random (transformed image, caption CLS embedding) pairs.
 
-    The reference loads the n pairs one ``dataset[i]`` at a time
-    (distill.py:97-105) — at nq=500-1000 on a small host that is minutes
-    of sequential decode before the first step.  Items are fetched
-    through a thread pool instead (decode releases the GIL in both the
-    C++ fastimage path and PIL); ``ex.map`` preserves sample order.
-    Each item is fetched once (the reference indexes ``dataset[i]``
-    twice per pair — image then caption).
-    """
-    import concurrent.futures as cf
+    The reference indexes ``dataset[i]`` TWICE per pair — image then
+    caption (distill.py:97-105); here each item is fetched once, which
+    alone roughly halves init time at nq=500-1000.
 
+    Fetching is sequential by default because the train transform draws
+    from the *global* ``np.random`` stream (crop box, flip coin,
+    RandAugment op choices): concurrent ``dataset[i]`` calls would
+    consume that stream in scheduler-dependent order (and legacy
+    mt19937 state is not thread-safe), silently breaking seeded
+    reproducibility of ``image_syn`` — the trainable state of the whole
+    run.  Pass ``num_workers>0`` to opt into a thread pool (decode
+    releases the GIL in both the C++ fastimage path and PIL) when
+    bit-reproducible init does not matter.
+    """
     rng = rng or np.random
     idx = rng.permutation(len(dataset))[:n]
-    with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-        items = list(ex.map(dataset.__getitem__, [int(i) for i in idx]))
+    if num_workers > 0:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            items = list(ex.map(dataset.__getitem__, [int(i) for i in idx]))
+    else:
+        items = [dataset[int(i)] for i in idx]
     images = np.stack([it[0] for it in items])
     captions = [it[1] for it in items]
     texts = text_encoder.encode(captions)

@@ -61,7 +61,18 @@ def set_enabled(on: bool) -> None:
 
 
 def configure(cfg) -> None:
-    set_enabled(bool(getattr(cfg, "stem_s2d", False)))
+    """CLI wiring: cfg.stem_s2d, with MDD_STEM_S2D winning when set.
+
+    The env override exists for A/B runs (config.py documents it); like
+    ``ops/pallas_gconv`` it must survive the CLIs' configure(cfg) call,
+    otherwise ``MDD_STEM_S2D=1 python distill.py`` would silently
+    measure the plain stem (cfg.stem_s2d defaults False).
+    """
+    env = os.environ.get("MDD_STEM_S2D")
+    if env is not None and env != "":
+        set_enabled(env == "1")
+    else:
+        set_enabled(bool(getattr(cfg, "stem_s2d", False)))
 
 
 def enabled() -> bool:

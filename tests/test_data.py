@@ -112,3 +112,65 @@ def test_zca_roundtrip():
     assert abs(np.mean(np.diag(cov)) - 1.0) < 0.1
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 0.2
+
+
+def test_get_images_texts_deterministic_and_single_fetch():
+    """Seeded init must be bit-reproducible (the default path is
+    sequential because the train transform consumes the GLOBAL np.random
+    stream — a thread pool would consume it in scheduler order), and
+    each item must be fetched exactly once (the reference indexes
+    dataset[i] twice per pair, distill.py:97-105)."""
+    from multimodal_dataset_distillation_tpu.data.datasets import (
+        SyntheticVLTrain,
+    )
+    from multimodal_dataset_distillation_tpu.engine.distill import (
+        get_images_texts,
+    )
+
+    class CountingDS(SyntheticVLTrain):
+        calls = 0
+
+        def __getitem__(self, index):
+            CountingDS.calls += 1
+            return super().__getitem__(index)
+
+    class FakeEnc:
+        def encode(self, caps):
+            return np.zeros((len(caps), 8), np.float32)
+
+    ds = CountingDS(12, make_train_transform(16), image_size=16, seed=0)
+
+    def run():
+        np.random.seed(123)  # the stream the transform draws from
+        return get_images_texts(8, ds, FakeEnc(),
+                                rng=np.random.RandomState(0))
+
+    CountingDS.calls = 0
+    img_a, txt_a = run()
+    assert CountingDS.calls == 8  # single fetch per pair
+    img_b, txt_b = run()
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(txt_a, txt_b)
+
+
+def test_stem_s2d_env_override_survives_configure(monkeypatch):
+    """config.py documents MDD_STEM_S2D=1 as the A/B override; it must
+    win over cfg.stem_s2d when the CLIs call configure(cfg) after
+    import (previously configure() stomped it back to the default)."""
+    from multimodal_dataset_distillation_tpu.ops import s2d
+
+    prev = s2d.enabled()
+    try:
+        monkeypatch.setenv("MDD_STEM_S2D", "1")
+        s2d.configure(Config(stem_s2d=False))
+        assert s2d.enabled()
+        monkeypatch.setenv("MDD_STEM_S2D", "0")
+        s2d.configure(Config(stem_s2d=True))
+        assert not s2d.enabled()
+        monkeypatch.delenv("MDD_STEM_S2D")
+        s2d.configure(Config(stem_s2d=True))
+        assert s2d.enabled()
+        s2d.configure(Config(stem_s2d=False))
+        assert not s2d.enabled()
+    finally:
+        s2d.set_enabled(prev)
