@@ -146,3 +146,38 @@ def test_buffer_pt_roundtrip(tmp_path):
     assert isinstance(payload[0], list)         # list of snapshots
     assert isinstance(payload[0][0], list)      # list of per-param tensors
     assert all(isinstance(t, torch.Tensor) for t in payload[0][0])
+
+
+def test_generic_timm_ckpt_env_ignored_for_non_timm_encoder(
+        tmp_path, _chdir_tmp, monkeypatch):
+    """A leftover generic $MDD_TIMM_CKPT (e.g. from an nfnet buffer run)
+    must not be force-fed to a non-timm eval student: the eval-student
+    import is gated on the timm arch table, so distill with
+    image_encoder=convnet_tiny runs its eval block from random init
+    instead of raising KeyError('convnet_tiny') at the first eval."""
+    import torch
+
+    from multimodal_dataset_distillation_tpu.cli.distill import (
+        main as distill_main,
+    )
+
+    ckpt = tmp_path / "nfnet_l0_fake.pth"
+    torch.save({"stem.conv1.weight": torch.zeros(16, 3, 3, 3)}, str(ckpt))
+    monkeypatch.setenv("MDD_TIMM_CKPT", str(ckpt))
+
+    cfg = Config(
+        dataset="synthetic", synthetic_size=16, synthetic_test_size=8,
+        image_encoder="convnet_tiny", image_size=16,
+        text_encoder_config="tiny", text_pretrained=False,
+        image_pretrained=True,  # the reference default
+        num_queries=4, syn_steps=1, mini_batch_size=2, expert_epochs=1,
+        max_start_epoch=1, Iteration=1, eval_it=1, num_eval=1,
+        epoch_eval_train=1, k_test=4, num_workers=2,
+        batch_size_train=8, batch_size_test=8, batch_train=4,
+        lr_teacher_img=0.05, lr_teacher_txt=0.05,
+        lr_img=10.0, lr_txt=10.0, lr_lr=0.01,
+        buffer_path=str(tmp_path / "nobuffers"),
+        save_dir=str(tmp_path / "logs"), disable_wandb=True, draw=False,
+        seed=0)
+    _, history = distill_main(cfg)  # must not raise
+    assert history, "eval block did not run"
