@@ -268,6 +268,30 @@ def main(cfg: Config):
             print(f"{get_time()} iter = {pit:04d}, loss = {grand:.4f}")
         return True
 
+    # one eval harness for the whole run: trainers (and their compiled
+    # programs) are cached here and re-armed per block instead of being
+    # rebuilt — rebuilding recompiled the eval programs every eval_it
+    # iterations AND leaked stale device-loaded executables until GC
+    # (observed OOM after ~300 iters of a 400-iter soak, QUALITY.md)
+    eval_reuse: dict = {}
+
+    def _hbm_probe(tag):
+        # MDD_DEBUG_HBM=1: device-memory telemetry for long-run OOM
+        # triage (observed: RESOURCE_EXHAUSTED after ~300 iters with
+        # periodic evals on a 16 GB v5e — see QUALITY.md soak note)
+        if os.environ.get("MDD_DEBUG_HBM") != "1":
+            return
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            print(f"[hbm {tag}] in_use="
+                  f"{stats.get('bytes_in_use', 0)/2**20:.0f} MiB "
+                  f"peak={stats.get('peak_bytes_in_use', 0)/2**20:.0f} MiB "
+                  f"largest_free="
+                  f"{stats.get('largest_free_block_bytes', 0)/2**20:.0f} MiB",
+                  flush=True)
+        except Exception as e:  # memory_stats unsupported on some backends
+            print(f"[hbm {tag}] unavailable: {e}", flush=True)
+
     for it in range(start_it, cfg.Iteration + 1):
         # ---- evaluation block (distill_original.py:201-283) ----
         if it in eval_it_pool and cfg.num_eval > 0:
@@ -275,6 +299,7 @@ def main(cfg: Config):
                 pending = None
                 break
             pending = None
+            _hbm_probe(f"pre-eval it={it}")
             results = []
             eval_cfg = cfg.replace(
                 distill=True, lr_net=float(distiller.state.syn_lr_img))
@@ -296,7 +321,8 @@ def main(cfg: Config):
                              else None)
                 _, results = evaluate_synset_parallel(
                     cfg.num_eval, eval_model, var_list, img_eval, txt_eval,
-                    testloader, eval_cfg, bert_test_embed, mesh=eval_mesh)
+                    testloader, eval_cfg, bert_test_embed, mesh=eval_mesh,
+                    reuse=eval_reuse)
                 for it_eval, val in enumerate(results):
                     print(f"Evaluate_{it_eval:02d}: "
                           + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
@@ -308,7 +334,8 @@ def main(cfg: Config):
                                            cfg.seed + 1000 + it_eval)
                     _, acc, val = evaluate_synset(
                         it_eval, eval_model, eval_vars, img_eval, txt_eval,
-                        testloader, eval_cfg, bert_test_embed)
+                        testloader, eval_cfg, bert_test_embed,
+                        reuse=eval_reuse)
                     results.append(val)
                     print(f"Evaluate_{it_eval:02d}: "
                           + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
@@ -322,6 +349,8 @@ def main(cfg: Config):
                     agg[f"Std/{k}"] = float(np.std(vals))
                 logger.log(agg, step=it)
             history.append((it, results))
+
+            _hbm_probe(f"post-eval it={it}")
 
             if cfg.draw:
                 run_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)

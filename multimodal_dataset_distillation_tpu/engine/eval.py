@@ -234,20 +234,33 @@ def retrieval_eval(testloader, model: VLBiEncoder, variables,
 def evaluate_synset(it_eval: int, model: VLBiEncoder, variables,
                     images_train: np.ndarray, texts_train: np.ndarray,
                     testloader, cfg: Config, bert_test_embed: np.ndarray,
-                    rng: Optional[jax.Array] = None):
+                    rng: Optional[jax.Array] = None, reuse=None):
     """Train a fresh model on the synthetic set, then retrieval-eval it.
 
     Reference: ``evaluate_synset`` (epoch_original.py:164-195) — SGD
     momentum 0.9, weight decay 5e-4, lr = ``cfg.lr_net`` (the learned
     ``syn_lr_img``), ``epoch_eval_train``+1 epochs, batch ``batch_train``.
+
+    ``reuse``: caller-kept dict; the trainer (and compiled step) is
+    cached in it and re-armed via reset on later calls — lr is a traced
+    argument, so re-evals at the evolving learned LR reuse the same
+    executable (see evaluate_synset_parallel's note on why).
     """
     from multimodal_dataset_distillation_tpu.engine.expert import (
         BiEncoderTrainer,
     )
 
-    trainer = BiEncoderTrainer(
-        model, variables, lr_img=float(cfg.lr_net), lr_txt=float(cfg.lr_net),
-        momentum=0.9, weight_decay=5e-4, seed=cfg.seed + it_eval)
+    trainer = (reuse or {}).get("trainer_seq")
+    if trainer is not None:
+        trainer.reset(variables, seed=cfg.seed + it_eval,
+                      lr_img=float(cfg.lr_net), lr_txt=float(cfg.lr_net))
+    else:
+        trainer = BiEncoderTrainer(
+            model, variables, lr_img=float(cfg.lr_net),
+            lr_txt=float(cfg.lr_net), momentum=0.9, weight_decay=5e-4,
+            seed=cfg.seed + it_eval)
+        if reuse is not None:
+            reuse["trainer_seq"] = trainer
     loader = ArrayPairLoader(images_train, texts_train,
                              batch_size=cfg.batch_train, shuffle=True,
                              seed=cfg.seed + it_eval)
@@ -266,7 +279,7 @@ def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
                              variables_list, images_train: np.ndarray,
                              texts_train: np.ndarray, testloader,
                              cfg: Config, bert_test_embed: np.ndarray,
-                             mesh=None):
+                             mesh=None, reuse=None):
     """All ``num_eval`` synset evaluations as ONE vmapped program.
 
     The reference trains its ``num_eval`` fresh models strictly
@@ -283,15 +296,32 @@ def evaluate_synset_parallel(num_eval: int, model: VLBiEncoder,
     level).
 
     Returns ``(acc_lists, val_results)`` — lists of length ``num_eval``.
+
+    ``reuse``: a dict the caller keeps across eval blocks.  The trainer
+    (and its compiled vmapped program) is cached in it and re-armed with
+    :meth:`ParallelExpertTrainer.reset` on later calls — the learned
+    ``cfg.lr_net`` is a traced argument, so re-evals at a new LR reuse
+    the same executable.  Without this, every eval block paid a full
+    recompile (minutes on remote-compile hosts) and loaded a fresh
+    executable into device memory (observed RESOURCE_EXHAUSTED after ~4
+    blocks on a 16 GB chip).
     """
     from multimodal_dataset_distillation_tpu.engine.expert import (
         ParallelExpertTrainer,
     )
 
-    trainer = ParallelExpertTrainer(
-        model, list(variables_list), lr_img=float(cfg.lr_net),
-        lr_txt=float(cfg.lr_net), momentum=0.9, weight_decay=5e-4,
-        seeds=[cfg.seed + j for j in range(num_eval)], mesh=mesh)
+    seeds = [cfg.seed + j for j in range(num_eval)]
+    trainer = (reuse or {}).get("trainer")
+    if trainer is not None and trainer.k == num_eval:
+        trainer.reset(list(variables_list), seeds=seeds,
+                      lr_img=float(cfg.lr_net), lr_txt=float(cfg.lr_net))
+    else:
+        trainer = ParallelExpertTrainer(
+            model, list(variables_list), lr_img=float(cfg.lr_net),
+            lr_txt=float(cfg.lr_net), momentum=0.9, weight_decay=5e-4,
+            seeds=seeds, mesh=mesh)
+        if reuse is not None:
+            reuse["trainer"] = trainer
     loaders = [ArrayPairLoader(images_train, texts_train,
                                batch_size=cfg.batch_train, shuffle=True,
                                seed=cfg.seed + j) for j in range(num_eval)]

@@ -60,33 +60,68 @@ class BiEncoderTrainer:
         # RandAugment(2,5) + CLIP normalization run inside the step
         self.device_augment = device_augment
         self.variables = dict(variables)
-        self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
-        self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
+        # lr is a TRACED step argument, not a compile-time constant:
+        # eval blocks re-create trainers at the evolving learned lr_net
+        # every eval_it iterations, and baking lr into the program forced
+        # a full recompile (minutes on remote-compile hosts) plus a fresh
+        # device-loaded executable per block (observed HBM accumulation
+        # -> RESOURCE_EXHAUSTED after ~4 blocks on v5e-16GB).  momentum/
+        # weight_decay stay static (they are fixed per trainer kind).
+        self.lr_img = float(lr_img)
+        self.lr_txt = float(lr_txt)
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        # init-only transformation: opt-state STRUCTURE is lr-independent
+        _tx = torch_sgd(0.0, momentum, weight_decay)
         params = self.variables["params"]
-        self.opt_img = self.tx_img.init(params["image_encoder"])
-        self.opt_txt = self.tx_txt.init(params["text_projection"])
+        self.opt_img = _tx.init(params["image_encoder"])
+        self.opt_txt = _tx.init(params["text_projection"])
         self.rng = jax.random.PRNGKey(seed)
         self._step = self._build_step()
+
+    def reset(self, variables: Dict, *, seed: int,
+              lr_img=None, lr_txt=None):
+        """Re-arm with a fresh init/seed/LR WITHOUT rebuilding the jitted
+        step (lr is traced) — synset-eval blocks reuse one trainer and
+        its compiled program across the run (see evaluate_synset)."""
+        if lr_img is not None:
+            self.lr_img = float(lr_img)
+        if lr_txt is not None:
+            self.lr_txt = float(lr_txt)
+        self.variables = dict(variables)
+        _tx = torch_sgd(0.0, self.momentum, self.weight_decay)
+        params = self.variables["params"]
+        self.opt_img = _tx.init(params["image_encoder"])
+        self.opt_txt = _tx.init(params["text_projection"])
+        self.rng = jax.random.PRNGKey(seed)
 
     def reset_optimizers(self, lr_img: float, lr_txt: float,
                          momentum: float = 0.0, weight_decay: float = 0.0):
         """Fresh SGD at new LR (the reference's step-decay recreates the
         optimizers, buffer.py:97-102 / epoch_original.py:190-192)."""
-        self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
-        self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
+        self.lr_img = float(lr_img)
+        self.lr_txt = float(lr_txt)
         params = self.variables["params"]
-        self.opt_img = self.tx_img.init(params["image_encoder"])
-        self.opt_txt = self.tx_txt.init(params["text_projection"])
-        self._step = self._build_step()
+        _tx = torch_sgd(0.0, momentum, weight_decay)
+        self.opt_img = _tx.init(params["image_encoder"])
+        self.opt_txt = _tx.init(params["text_projection"])
+        if (momentum, weight_decay) != (self.momentum, self.weight_decay):
+            # static hypers changed: the program must be rebuilt
+            self.momentum, self.weight_decay = momentum, weight_decay
+            self._step = self._build_step()
 
     def _build_step(self):
-        model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
+        model = self.model
+        momentum, weight_decay = self.momentum, self.weight_decay
         mesh = self.mesh
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         device_augment = self.device_augment
 
         @jax.jit
-        def step(variables, opt_img, opt_txt, images, text_feats, rng):
+        def step(variables, opt_img, opt_txt, images, text_feats, rng,
+                 lr_img, lr_txt):
+            tx_img = torch_sgd(lr_img, momentum, weight_decay)
+            tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
             if mesh is not None and "data" in mesh.axis_names:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -166,7 +201,7 @@ class BiEncoderTrainer:
             text_feats = jnp.asarray(text_feats)
         (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
             self.variables, self.opt_img, self.opt_txt,
-            images, text_feats, sub)
+            images, text_feats, sub, self.lr_img, self.lr_txt)
         return loss, acc
 
     def train_epoch_arrays(self, loader) -> Tuple[float, float]:
@@ -241,13 +276,35 @@ class ParallelExpertTrainer:
         self.model = model
         self.k = len(variables_list)
         self.mesh = mesh
-        self.tx_img = torch_sgd(lr_img, momentum, weight_decay)
-        self.tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
+        # lr is a traced step argument (see BiEncoderTrainer.__init__:
+        # eval blocks rebuild this trainer at the evolving learned
+        # lr_net; a baked-in lr forced a full recompile per eval block)
+        self.lr_img = float(lr_img)
+        self.lr_txt = float(lr_txt)
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self._tx_init = torch_sgd(0.0, momentum, weight_decay).init
+        self.reset(variables_list, seeds=seeds, seed=seed,
+                   lr_img=lr_img, lr_txt=lr_txt)
+        self._step = self._build_step()
+
+    def reset(self, variables_list, *, seeds=None, seed: int = 0,
+              lr_img=None, lr_txt=None):
+        """Re-arm with fresh inits/LR WITHOUT rebuilding the jitted step —
+        eval blocks reuse one trainer (and its compiled program) across
+        the whole run instead of recompiling every ``eval_it`` iterations.
+        Reproduces a freshly-constructed trainer exactly: stacked
+        variables, zero optimizer traces, per-expert RNG chains."""
+        assert len(variables_list) == self.k, (len(variables_list), self.k)
+        if lr_img is not None:
+            self.lr_img = float(lr_img)
+        if lr_txt is not None:
+            self.lr_txt = float(lr_txt)
         self.variables = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *variables_list)
         params = self.variables["params"]
-        self.opt_img = jax.vmap(self.tx_img.init)(params["image_encoder"])
-        self.opt_txt = jax.vmap(self.tx_txt.init)(params["text_projection"])
+        self.opt_img = jax.vmap(self._tx_init)(params["image_encoder"])
+        self.opt_txt = jax.vmap(self._tx_init)(params["text_projection"])
         # ``seeds``: one seed per expert -> each lane carries the SAME
         # key chain a sequential BiEncoderTrainer(seed=seeds[j]) would
         # (split once per batch, use the second half as the dropout key),
@@ -260,7 +317,6 @@ class ParallelExpertTrainer:
         else:
             self.rngs = None
             self.rng = jax.random.PRNGKey(seed)
-        self._step = self._build_step()
 
     def _shard(self, tree):
         if self.mesh is None or "data" not in self.mesh.axis_names:
@@ -275,10 +331,14 @@ class ParallelExpertTrainer:
         return jax.tree_util.tree_map(put, tree)
 
     def _build_step(self):
-        model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
+        model = self.model
+        momentum, weight_decay = self.momentum, self.weight_decay
         shard = self._shard
 
-        def one(variables, opt_img, opt_txt, images, text_feats, rng):
+        def one(variables, opt_img, opt_txt, images, text_feats, rng,
+                lr_img, lr_txt):
+            tx_img = torch_sgd(lr_img, momentum, weight_decay)
+            tx_txt = torch_sgd(lr_txt, momentum, weight_decay)
             params = variables["params"]
             state = {k: v for k, v in variables.items() if k != "params"}
 
@@ -309,12 +369,14 @@ class ParallelExpertTrainer:
             return {"params": new_params, **new_state}, opt_img, opt_txt, loss, acc
 
         @jax.jit
-        def step(variables, opt_img, opt_txt, images, text_feats, rngs):
+        def step(variables, opt_img, opt_txt, images, text_feats, rngs,
+                 lr_img, lr_txt):
             variables = shard(variables)
             images = shard(images)
             text_feats = shard(text_feats)
-            return jax.vmap(one)(variables, opt_img, opt_txt, images,
-                                 text_feats, rngs)
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+                variables, opt_img, opt_txt, images, text_feats, rngs,
+                lr_img, lr_txt)
 
         return step
 
@@ -331,7 +393,8 @@ class ParallelExpertTrainer:
             rngs = jax.random.split(sub, self.k)
         (self.variables, self.opt_img, self.opt_txt, loss, acc) = self._step(
             self.variables, self.opt_img, self.opt_txt,
-            jnp.asarray(images), jnp.asarray(text_feats), rngs)
+            jnp.asarray(images), jnp.asarray(text_feats), rngs,
+            self.lr_img, self.lr_txt)
         return loss, acc
 
     def train_epoch_captions(self, loaders, caption_to_embed: Callable

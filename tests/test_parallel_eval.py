@@ -111,3 +111,44 @@ def test_parallel_eval_tracks_sequential_metrics():
         # generous band — this guards against wiring bugs (wrong model,
         # wrong lr, missing training), not dropout noise
         assert abs(vp["r_mean"] - vs["r_mean"]) < 40.0
+
+
+def test_eval_reuse_matches_fresh():
+    """The reuse path (one trainer re-armed across eval blocks — the
+    long-run OOM/recompile fix; lr is a traced argument) must reproduce
+    the fresh-trainer path bit-for-bit, including at a CHANGED lr_net
+    (the learned syn_lr evolves between blocks)."""
+    cfg, model, var_list, images, texts, testloader, bert_test = _setup(2)
+
+    # fresh trainers, two blocks at different lrs (the old behavior)
+    fresh = []
+    for lr in (0.05, 0.07):
+        c = cfg.replace(lr_net=lr)
+        _, res = evaluate_synset_parallel(2, model, var_list, images, texts,
+                                          testloader, c, bert_test)
+        fresh.append(res)
+
+    # one reused trainer across both blocks
+    reuse = {}
+    reused = []
+    for lr in (0.05, 0.07):
+        c = cfg.replace(lr_net=lr)
+        _, res = evaluate_synset_parallel(2, model, var_list, images, texts,
+                                          testloader, c, bert_test,
+                                          reuse=reuse)
+        reused.append(res)
+    assert "trainer" in reuse  # actually cached
+
+    for blk_f, blk_r in zip(fresh, reused):
+        for vf, vr in zip(blk_f, blk_r):
+            assert vf == vr, (vf, vr)
+
+    # sequential path reuse parity too
+    _, _, v_fresh = evaluate_synset(0, model, var_list[0], images, texts,
+                                    testloader, cfg, bert_test)
+    r2 = {}
+    _, _, v_r1 = evaluate_synset(0, model, var_list[0], images, texts,
+                                 testloader, cfg, bert_test, reuse=r2)
+    _, _, v_r2 = evaluate_synset(0, model, var_list[0], images, texts,
+                                 testloader, cfg, bert_test, reuse=r2)
+    assert v_fresh == v_r1 == v_r2

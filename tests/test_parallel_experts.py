@@ -47,7 +47,7 @@ def test_parallel_matches_sequential():
             (seq.variables, seq.opt_img, seq.opt_txt, _, _) = seq._step(
                 seq.variables, seq.opt_img, seq.opt_txt,
                 jnp.asarray(images[j, s]), jnp.asarray(texts[j, s]),
-                batch_rngs[s][j])
+                batch_rngs[s][j], seq.lr_img, seq.lr_txt)
         a = jax.tree_util.tree_leaves(par.variables_for(j)["params"])
         b = jax.tree_util.tree_leaves(seq.variables["params"])
         for x, y in zip(a, b):
