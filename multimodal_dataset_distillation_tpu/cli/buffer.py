@@ -150,6 +150,9 @@ def main(cfg: Config) -> List[int]:
         logger.finish()
         return saved
 
+    trainer = None  # ONE trainer (and compiled step) reused per expert:
+    # lr is a traced argument and reset() re-arms init/seed/opt-state, so
+    # expert N+1 skips the full remote recompile expert N paid
     for it in expert_ids:
         model = build_bi_encoder(cfg)
         variables = init_bi_encoder(model, cfg.replace(seed=cfg.seed + it))
@@ -164,11 +167,17 @@ def main(cfg: Config) -> List[int]:
                 variables, cfg.image_encoder)
             if ckpt:
                 print(f"Loaded pretrained image tower from {ckpt}")
-        trainer = BiEncoderTrainer(
-            model, variables, lr_img=cfg.lr_teacher_img,
-            lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom, weight_decay=cfg.l2,
-            seed=cfg.seed + it, mesh=mesh, compute_dtype=cfg.train_dtype,
-            device_augment=cfg.device_augment)
+        if trainer is None:
+            trainer = BiEncoderTrainer(
+                model, variables, lr_img=cfg.lr_teacher_img,
+                lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom,
+                weight_decay=cfg.l2, seed=cfg.seed + it, mesh=mesh,
+                compute_dtype=cfg.train_dtype,
+                device_augment=cfg.device_augment)
+        else:
+            trainer.reset(variables, seed=cfg.seed + it,
+                          lr_img=cfg.lr_teacher_img,
+                          lr_txt=cfg.lr_teacher_txt)
 
         img_traj = [trainer.snapshot_image_params()]
         txt_traj = [trainer.snapshot_text_params()]

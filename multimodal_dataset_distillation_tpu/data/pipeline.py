@@ -84,6 +84,28 @@ class Loader:
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
 
+        from multimodal_dataset_distillation_tpu.utils import augrng
+
+        if self.seed is not None:
+            # per-item augmentation RNG: a seeded loader's augment draws
+            # are a pure function of (seed, epoch, dataset index) —
+            # deterministic under any worker-thread schedule AND
+            # identical across multi-host processes fetching the same
+            # global index.  Without this, transforms drew from the
+            # process-global np.random under concurrency (racy mt19937,
+            # schedule-ordered draws): two runs with the same --seed
+            # produced different expert trajectories.
+            epoch, base = self._epoch, self.seed
+
+            def fetch(i):
+                augrng.seed_item(base, epoch, i)
+                try:
+                    return self.dataset[i]
+                finally:
+                    augrng.clear()
+        else:
+            fetch = self.dataset.__getitem__
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             # per-item futures, windowed over `prefetch` batches ahead
             pending: List[List[cf.Future]] = []
@@ -92,7 +114,7 @@ class Loader:
             def enqueue():
                 nonlocal next_batch
                 if next_batch < n_batches:
-                    pending.append([pool.submit(self.dataset.__getitem__, i)
+                    pending.append([pool.submit(fetch, i)
                                     for i in batches[next_batch]])
                     next_batch += 1
 

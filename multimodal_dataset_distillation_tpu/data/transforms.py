@@ -19,6 +19,7 @@ import numpy as np
 from PIL import Image
 
 from multimodal_dataset_distillation_tpu.ops.randaugment import RandomAugment, VL_AUGS
+from multimodal_dataset_distillation_tpu.utils.augrng import get as _rng
 
 # CLIP normalization (data/__init__.py:194-196)
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -41,14 +42,14 @@ def sample_crop_params(w: int, h: int,
     """torchvision RandomResizedCrop sampling -> (x, y, cw, ch)."""
     area = w * h
     for _ in range(10):
-        target = area * np.random.uniform(*scale)
-        log_r = np.random.uniform(math.log(ratio[0]), math.log(ratio[1]))
+        target = area * _rng().uniform(*scale)
+        log_r = _rng().uniform(math.log(ratio[0]), math.log(ratio[1]))
         ar = math.exp(log_r)
         cw = int(round(math.sqrt(target * ar)))
         ch = int(round(math.sqrt(target / ar)))
         if 0 < cw <= w and 0 < ch <= h:
-            x = np.random.randint(0, w - cw + 1)
-            y = np.random.randint(0, h - ch + 1)
+            x = _rng().randint(0, w - cw + 1)
+            y = _rng().randint(0, h - ch + 1)
             return x, y, cw, ch
     # fallback: center crop at clamped ratio
     in_ratio = w / h
@@ -76,7 +77,7 @@ def make_train_transform(image_size: int = 224,
     def transform(img: Image.Image) -> np.ndarray:
         img = img.convert("RGB")
         img = random_resized_crop(img, image_size, scale=(min_scale, 1.0))
-        if np.random.random() < 0.5:
+        if _rng().random_sample() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         img = aug(img)
         return normalize(np.asarray(img))
@@ -105,7 +106,7 @@ def make_train_transform_raw(image_size: int = 224,
     def pil_path(img: Image.Image) -> np.ndarray:
         img = img.convert("RGB")
         img = random_resized_crop(img, image_size, scale=(min_scale, 1.0))
-        if np.random.random() < 0.5:
+        if _rng().random_sample() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, np.float32)
 
@@ -119,7 +120,7 @@ def make_train_transform_raw(image_size: int = 224,
             if dims is not None:
                 x, y, cw, ch = sample_crop_params(
                     dims[0], dims[1], scale=(min_scale, 1.0))
-                flip = bool(np.random.random() < 0.5)
+                flip = bool(_rng().random_sample() < 0.5)
                 out, failed = native.decode_batch(
                     [(data, (x, y, cw, ch), flip)], image_size, n_threads=1)
                 if not failed:
@@ -154,7 +155,7 @@ def make_train_transform_native(image_size: int = 224,
             if dims is not None:
                 x, y, cw, ch = sample_crop_params(
                     dims[0], dims[1], scale=(min_scale, 1.0))
-                flip = bool(np.random.random() < 0.5)
+                flip = bool(_rng().random_sample() < 0.5)
                 out, failed = native.decode_batch(
                     [(data, (x, y, cw, ch), flip)], image_size, n_threads=1)
                 if not failed:

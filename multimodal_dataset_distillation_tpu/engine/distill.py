@@ -814,25 +814,35 @@ def get_images_texts(n: int, dataset, text_encoder,
     caption (distill.py:97-105); here each item is fetched once, which
     alone roughly halves init time at nq=500-1000.
 
-    Fetching is sequential by default because the train transform draws
-    from the *global* ``np.random`` stream (crop box, flip coin,
-    RandAugment op choices): concurrent ``dataset[i]`` calls would
-    consume that stream in scheduler-dependent order (and legacy
-    mt19937 state is not thread-safe), silently breaking seeded
-    reproducibility of ``image_syn`` — the trainable state of the whole
-    run.  Pass ``num_workers>0`` to opt into a thread pool (decode
-    releases the GIL in both the C++ fastimage path and PIL) when
-    bit-reproducible init does not matter.
+    Augment draws use a per-item seeded thread-local RNG
+    (``utils/augrng``, seeds drawn from ``rng``), so the resulting
+    ``image_syn`` init — the trainable state of the whole run — is
+    bit-reproducible for a fixed seed regardless of prior global-stream
+    consumption AND of the fetch schedule; ``num_workers>0`` opts into
+    a thread pool (decode releases the GIL in both the C++ fastimage
+    path and PIL) with identical results.
     """
+    from multimodal_dataset_distillation_tpu.utils import augrng
+
     rng = rng or np.random
     idx = rng.permutation(len(dataset))[:n]
+    seeds = rng.randint(0, 2**31 - 1, size=len(idx))
+
+    def fetch(args):
+        i, s = args
+        augrng.seed_item(s)
+        try:
+            return dataset[int(i)]
+        finally:
+            augrng.clear()
+
     if num_workers > 0:
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-            items = list(ex.map(dataset.__getitem__, [int(i) for i in idx]))
+            items = list(ex.map(fetch, zip(idx, seeds)))
     else:
-        items = [dataset[int(i)] for i in idx]
+        items = [fetch(a) for a in zip(idx, seeds)]
     images = np.stack([it[0] for it in items])
     captions = [it[1] for it in items]
     texts = text_encoder.encode(captions)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+from multimodal_dataset_distillation_tpu.utils.augrng import get as _rng
 from PIL import Image, ImageEnhance, ImageOps
 
 MAX_LEVEL = 10
@@ -51,7 +53,7 @@ def _equalize(img, level):
 
 def _rotate(img, level):
     deg = (level / MAX_LEVEL) * 30
-    if np.random.random() < 0.5:
+    if _rng().random_sample() < 0.5:
         deg = -deg
     return img.rotate(-deg, resample=Image.BILINEAR, fillcolor=FILL)
 
@@ -76,7 +78,7 @@ def _enhance(cls):
 def _shear(axis: int):
     def fn(img, level):
         s = (level / MAX_LEVEL) * 0.3
-        if np.random.random() > 0.5:
+        if _rng().random_sample() > 0.5:
             s = -s
         mat = (1, s, 0, 0, 1, 0) if axis == 0 else (1, 0, 0, s, 1, 0)
         return img.transform(img.size, Image.AFFINE, mat,
@@ -87,7 +89,7 @@ def _shear(axis: int):
 def _translate(axis: int):
     def fn(img, level):
         t = (level / MAX_LEVEL) * float(TRANSLATE_CONST)
-        if np.random.random() > 0.5:
+        if _rng().random_sample() > 0.5:
             t = -t
         mat = (1, 0, t, 0, 1, 0) if axis == 0 else (1, 0, 0, 0, 1, t)
         return img.transform(img.size, Image.AFFINE, mat,
@@ -101,7 +103,7 @@ def _cutout(img, level):
         return img
     arr = np.array(img)
     h, w = arr.shape[:2]
-    ch, cw = np.random.randint(h), np.random.randint(w)
+    ch, cw = _rng().randint(h), _rng().randint(w)
     x1, x2 = max(ch - pad, 0), min(ch + pad, h)
     y1, y2 = max(cw - pad, 0), min(cw + pad, w)
     arr[x1:x2, y1:y2] = FILL
@@ -140,13 +142,13 @@ class RandomAugment:
         self.augs = list(augs) if augs else list(OPS.keys())
 
     def get_random_ops(self) -> List[tuple]:
-        sampled = np.random.choice(self.augs, self.N)
+        sampled = _rng().choice(self.augs, self.N)
         return [(op, 0.5, self.M) for op in sampled]
 
     def __call__(self, img):
         pil = _to_pil(img)
         for name, prob, level in self.get_random_ops():
-            if np.random.random() > prob:
+            if _rng().random_sample() > prob:
                 continue
             pil = OPS[name](pil, level)
         return pil if self.isPIL else np.asarray(pil)

@@ -174,3 +174,52 @@ def test_stem_s2d_env_override_survives_configure(monkeypatch):
         assert not s2d.enabled()
     finally:
         s2d.set_enabled(prev)
+
+
+def test_seeded_loader_deterministic_across_schedules():
+    """A SEEDED Loader's augmented batches are a pure function of
+    (seed, epoch, index) via the per-item thread-local augment RNG
+    (utils/augrng) — identical across runs AND across worker counts.
+    Before this, transforms drew from the process-global np.random under
+    concurrency: racy and schedule-ordered (two same-seed runs produced
+    different expert trajectories)."""
+    from multimodal_dataset_distillation_tpu.data.datasets import (
+        SyntheticVLTrain,
+    )
+
+    def batches(workers):
+        ds = SyntheticVLTrain(24, make_train_transform(16), image_size=16,
+                              seed=0)
+        loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=workers, seed=7)
+        return [np.asarray(b[0]) for b in loader]
+
+    a, b = batches(4), batches(4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = batches(1)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_get_images_texts_threaded_matches_sequential():
+    """With per-item augment seeding, the opt-in thread pool produces
+    bit-identical init to the sequential default."""
+    from multimodal_dataset_distillation_tpu.data.datasets import (
+        SyntheticVLTrain,
+    )
+    from multimodal_dataset_distillation_tpu.engine.distill import (
+        get_images_texts,
+    )
+
+    class FakeEnc:
+        def encode(self, caps):
+            return np.zeros((len(caps), 8), np.float32)
+
+    ds = SyntheticVLTrain(12, make_train_transform(16), image_size=16,
+                          seed=0)
+    img_a, _ = get_images_texts(8, ds, FakeEnc(),
+                                rng=np.random.RandomState(3))
+    img_b, _ = get_images_texts(8, ds, FakeEnc(),
+                                rng=np.random.RandomState(3), num_workers=4)
+    np.testing.assert_array_equal(img_a, img_b)
