@@ -166,6 +166,74 @@ def test_launch_flow_buffer_then_distill(flickr_fixture, tmp_path,
     assert "distilled" in arts and "synthetic" in arts
 
 
+def test_launch_flow_coco_shaped(tmp_path, monkeypatch):
+    """COCO (Karpathy) launch flow: same CLI path as the Flickr test but
+    with ``coco_karpathy_*.json`` annotation names and the one shape COCO
+    has that Flickr doesn't — image paths with a split subdirectory
+    (``val2014/COCO_val2014_....jpg``), exercising the ``image_root``
+    join through JPEG decode.  Reference: ``data/coco_dataset.py:29-151``
+    (identical semantics to flickr30k_train, different files/paths).
+    """
+    img_root = tmp_path / "coco"
+    ann_root = tmp_path / "ann"
+    (img_root / "val2014").mkdir(parents=True)
+    ann_root.mkdir()
+
+    rng = np.random.RandomState(1)
+    rels = []
+    for i in range(6):
+        rel = f"val2014/COCO_val2014_{i:012d}.jpg"
+        arr = rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_root / rel, quality=90)
+        rels.append(rel)
+
+    train = [{"image": r, "caption": f"A COCO style caption {i}.",
+              "image_id": f"coco_{i}"} for i, r in enumerate(rels)]
+    (ann_root / "coco_karpathy_train.json").write_text(json.dumps(train))
+    for split in ("val", "test"):
+        ev = [{"image": r,
+               "caption": [f"cap {k} img {i}" for k in range(5)]}
+              for i, r in enumerate(rels[:3])]
+        (ann_root / f"coco_karpathy_{split}.json").write_text(json.dumps(ev))
+
+    monkeypatch.chdir(tmp_path)
+    from multimodal_dataset_distillation_tpu.cli import buffer as buffer_cli
+    from multimodal_dataset_distillation_tpu.cli import distill as distill_cli
+    from multimodal_dataset_distillation_tpu.config import parse_config
+
+    buf = tmp_path / "buffers"
+    common = [
+        "--dataset=coco", "--image_encoder=nf_tiny",
+        "--text_encoder=bert", "--text_encoder_config=tiny",
+        "--image_size=64", f"--image_root={img_root}",
+        f"--ann_root={ann_root}", "--batch_size_train=3",
+        "--batch_size_test=3", "--num_workers=2",
+        "--image_pretrained=False", "--disable_wandb",
+    ]
+    cfg = parse_config(common + [
+        f"--buffer_path={buf}", "--num_experts=1", "--train_epochs=1",
+        "--lr_teacher_img=0.05", "--lr_teacher_txt=0.05",
+    ])
+    buffer_cli.main(cfg)
+    sub = buf / "coco" / "nf_tiny" / "bert"
+    assert list(sub.glob("img_replay_buffer_*.pt")), "no COCO buffers"
+
+    dcfg = parse_config(common + [
+        f"--buffer_path={sub}", "--num_queries=3", "--mini_batch_size=2",
+        "--syn_steps=2", "--expert_epochs=1", "--max_start_epoch=1",
+        "--Iteration=2", "--eval_it=2", "--num_eval=1",
+        "--epoch_eval_train=1", "--batch_train=2", "--lr_img=10",
+        "--lr_txt=10", "--lr_lr=0.001",
+        f"--save_dir={tmp_path / 'logged'}",
+    ])
+    distiller, history = distill_cli.main(dcfg)
+    assert distiller.nan_bailout_it is None
+    assert history and all(
+        np.isfinite(v) for _, res in history for r in res for v in r.values())
+    # the npz text caches use the coco dataset key (utils.py:885 parity)
+    assert (tmp_path / "coco_bert_text_embed.npz").exists()
+
+
 def _load_tiny(variables, sd):
     """nf_tiny-shaped timm import (depths (1,2)); same mapper as nfnet."""
     from multimodal_dataset_distillation_tpu.models.import_torch import (
