@@ -73,6 +73,11 @@ def main(cfg: Config) -> List[int]:
     # pallas grouped-conv kernel: single-device only (see pallas_gconv.configure)
     pallas_gconv.configure(cfg)
     s2d.configure(cfg)
+    # the reference buffer.py has no --transfer flag (buffer.py:118-161);
+    # teachers are plain CLIPModel_full(args) (buffer.py:46).  Our union
+    # config accepts the flag everywhere — ignore it for teachers so the
+    # written trajectories always match the distill students' flat width.
+    cfg = cfg.replace(transfer=False)
     logger = RunLogger(name=cfg.name, config=vars(cfg) if hasattr(cfg, "__dict__") else None,
                        disable_wandb=cfg.disable_wandb, log_dir=cfg.save_dir)
     print("Hyper-parameters: \n", cfg)

@@ -66,6 +66,14 @@ def _bootstrap_dummy_buffers(cfg: Config, expert_dir: str) -> None:
                 dummy_trajectory(txt, copies), write_pt=False)
 
 
+def _student_cfg(cfg: Config) -> Config:
+    """Config for the distill student nets: distill-mode towers, never the
+    transfer head — in the reference only the eval model gets
+    ``eval_stage=args.transfer`` (distill.py:307); students are plain
+    ``CLIPModel_full(args)`` (distill.py:440)."""
+    return cfg.replace(distill=True, transfer=False)
+
+
 def main(cfg: Config):
     from multimodal_dataset_distillation_tpu.parallel.mesh import (
         setup_compilation_cache,
@@ -124,7 +132,10 @@ def main(cfg: Config):
         image_syn = zca.transform(image_syn)
 
     # ---- student template + distiller ----
-    student_cfg = cfg.replace(distill=True)
+    # transfer (eval_stage) applies ONLY to the periodic eval models
+    # (distill.py:307 builds them with eval_stage=args.transfer); the
+    # distill students are always plain (distill.py:440: CLIPModel_full(args))
+    student_cfg = _student_cfg(cfg)
     model = build_bi_encoder(student_cfg)
     variables = init_bi_encoder(model, student_cfg)
 

@@ -51,3 +51,24 @@ def test_embedding_dims_table():
     assert Config(image_encoder="resnet50").image_embedding == 1000
     assert Config(text_encoder="bert").text_embedding == 768
     assert Config(text_encoder="clip").text_embedding == 512
+
+
+def test_transfer_applies_only_to_eval_models():
+    """--transfer (eval_stage) must not leak into the distill students or
+    phase-1 teachers: the reference builds only the eval model with
+    eval_stage=args.transfer (distill.py:307); students (distill.py:440)
+    and teachers (buffer.py:46, which has no --transfer flag at all) are
+    plain.  A leaked transfer head would change the student flat width
+    and break against every expert buffer."""
+    from multimodal_dataset_distillation_tpu.cli.distill import _student_cfg
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        build_bi_encoder,
+    )
+
+    cfg = parse_config(["--transfer=True", "--image_encoder=nfnet"])
+    assert cfg.transfer is True
+    s = _student_cfg(cfg)
+    assert s.distill is True and s.transfer is False
+    # dim table (networks.py:810-819): eval model 1000-d head, student 2304-d
+    assert build_bi_encoder(cfg.replace(distill=True)).image_embedding == 1000
+    assert build_bi_encoder(s).image_embedding == 2304
