@@ -368,7 +368,11 @@ def main(cfg: Config):
                 arts = save_visualizations(
                     run_dir, it, np.asarray(distiller.state.image_syn),
                     np.asarray(distiller.state.text_syn), train_sentences,
-                    train_caption_embed, zca=zca)
+                    train_caption_embed, zca=zca,
+                    # grid/sentence PNG saves are gated exactly like the
+                    # reference (distill.py:368: ipc < 50 or --force_save);
+                    # the distilled-tensor npz always saves
+                    save_grids=cfg.ipc < 50 or cfg.force_save)
                 # rich-artifact parity with the reference's per-eval wandb
                 # logging (distill.py:386-394): image grids, pixel/text
                 # histograms, decoded-sentence HTML table

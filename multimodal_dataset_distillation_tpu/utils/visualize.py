@@ -59,10 +59,23 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
                         text_syn: np.ndarray, train_sentences: Sequence[str],
                         train_caption_embed: np.ndarray,
                         clip_vals: Sequence[float] = (2.5,),
-                        save_tensors: bool = True, zca=None) -> dict:
-    """Write PNG grids + sentence TXT + distilled-tensor npz; returns paths."""
+                        save_tensors: bool = True, zca=None,
+                        save_grids: bool = True) -> dict:
+    """Write PNG grids + sentence TXT + distilled-tensor npz; returns paths.
+
+    ``save_grids=False`` mirrors the reference's ``ipc >= 50 and not
+    force_save`` gate (distill.py:368): the upsampled grid/clipped/zca PNGs
+    and decoded sentences are skipped; the distilled-tensor npz (our fix
+    for the reference's SURVEY §5.4 gap) is still written.
+    """
     os.makedirs(save_dir, exist_ok=True)
     out = {}
+    if not save_grids:
+        if save_tensors:
+            p = os.path.join(save_dir, f"distilled_{it}.npz")
+            np.savez(p, image_syn=image_syn, text_syn=text_syn)
+            out["tensors"] = p
+        return out
 
     grid = make_grid(image_syn)
     p = os.path.join(save_dir, f"synthetic_images_{it}.png")
