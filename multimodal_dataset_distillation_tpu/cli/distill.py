@@ -74,6 +74,48 @@ def _student_cfg(cfg: Config) -> Config:
     return cfg.replace(distill=True, transfer=False)
 
 
+def make_eval_initializer(cfg: Config):
+    """Eval students start from pretrained towers exactly like the
+    reference's CLIPModel_full(args) eval nets (networks.py:666 via
+    epoch_original.py:164): offline import from a local timm checkpoint
+    when one exists, random init otherwise.  Returns an
+    ``init(eval_model, eval_cfg, seed) -> variables`` closure (shared by
+    the distill eval block and the eval_distilled CLI)."""
+    _eval_sd = None
+    if cfg.image_pretrained:
+        from multimodal_dataset_distillation_tpu.models.import_torch import (
+            _TIMM_CKPT_NAMES,
+            find_local_timm_checkpoint,
+        )
+
+        # same arch gate as maybe_load_pretrained_image_tower: a generic
+        # $MDD_TIMM_CKPT must not be force-fed to a non-timm encoder
+        # (load_image_tower_weights has no mapping for convnet/vit/...)
+        _ckpt = (find_local_timm_checkpoint(cfg.image_encoder)
+                 if cfg.image_encoder in _TIMM_CKPT_NAMES else None)
+        if _ckpt:
+            import torch as _torch
+
+            _eval_sd = _torch.load(_ckpt, map_location="cpu",
+                                   weights_only=True)
+            if isinstance(_eval_sd, dict) and "state_dict" in _eval_sd:
+                _eval_sd = _eval_sd["state_dict"]
+            print(f"Eval students use pretrained image tower: {_ckpt}")
+
+    def _eval_init(eval_model, eval_cfg, seed):
+        v = init_bi_encoder(eval_model, eval_cfg.replace(seed=seed))
+        if _eval_sd is not None:
+            from multimodal_dataset_distillation_tpu.models.import_torch import (
+                load_image_tower_weights,
+            )
+
+            v = load_image_tower_weights(v, _eval_sd,
+                                         arch=cfg.image_encoder)
+        return v
+
+    return _eval_init
+
+
 def main(cfg: Config):
     from multimodal_dataset_distillation_tpu.parallel.mesh import (
         setup_compilation_cache,
@@ -189,41 +231,7 @@ def main(cfg: Config):
     eval_it_pool = set(np.arange(0, cfg.Iteration + 1, cfg.eval_it).tolist())
     history = []
 
-    # eval students start from pretrained towers exactly like the
-    # reference's CLIPModel_full(args) eval nets (networks.py:666 via
-    # epoch_original.py:164); offline import from a local timm checkpoint
-    # when one exists, random init otherwise
-    _eval_sd = None
-    if cfg.image_pretrained:
-        from multimodal_dataset_distillation_tpu.models.import_torch import (
-            _TIMM_CKPT_NAMES,
-            find_local_timm_checkpoint,
-        )
-
-        # same arch gate as maybe_load_pretrained_image_tower: a generic
-        # $MDD_TIMM_CKPT must not be force-fed to a non-timm encoder
-        # (load_image_tower_weights has no mapping for convnet/vit/...)
-        _ckpt = (find_local_timm_checkpoint(cfg.image_encoder)
-                 if cfg.image_encoder in _TIMM_CKPT_NAMES else None)
-        if _ckpt:
-            import torch as _torch
-
-            _eval_sd = _torch.load(_ckpt, map_location="cpu",
-                                   weights_only=True)
-            if isinstance(_eval_sd, dict) and "state_dict" in _eval_sd:
-                _eval_sd = _eval_sd["state_dict"]
-            print(f"Eval students use pretrained image tower: {_ckpt}")
-
-    def _eval_init(eval_model, eval_cfg, seed):
-        v = init_bi_encoder(eval_model, eval_cfg.replace(seed=seed))
-        if _eval_sd is not None:
-            from multimodal_dataset_distillation_tpu.models.import_torch import (
-                load_image_tower_weights,
-            )
-
-            v = load_image_tower_weights(v, _eval_sd,
-                                         arch=cfg.image_encoder)
-        return v
+    _eval_init = make_eval_initializer(cfg)
 
     # ---- mid-run resume (SURVEY.md §5.4 gap in the reference) ----
     from multimodal_dataset_distillation_tpu.engine.checkpoint import (
@@ -372,7 +380,9 @@ def main(cfg: Config):
                     # grid/sentence PNG saves are gated exactly like the
                     # reference (distill.py:368: ipc < 50 or --force_save);
                     # the distilled-tensor npz always saves
-                    save_grids=cfg.ipc < 50 or cfg.force_save)
+                    save_grids=cfg.ipc < 50 or cfg.force_save,
+                    syn_lrs=(distiller.state.syn_lr_img,
+                             distiller.state.syn_lr_txt))
                 # rich-artifact parity with the reference's per-eval wandb
                 # logging (distill.py:386-394): image grids, pixel/text
                 # histograms, decoded-sentence HTML table

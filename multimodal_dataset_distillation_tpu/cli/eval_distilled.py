@@ -1,0 +1,103 @@
+"""Evaluate a saved distilled dataset (``distilled_{it}.npz``).
+
+New capability beyond the reference: upstream comments out its distilled
+tensor saves (distill_original.py:292-296), so a finished reference run
+can never be re-evaluated — only its wandb numbers survive.  Our distill
+CLI persists ``image_syn``/``text_syn`` (+ the learned inner LRs, which
+ARE the eval ``lr_net``: distill.py:312) at every eval; this CLI replays
+the standard synset-evaluation protocol (epoch_original.py:164-195) on
+any such file, with ``--num_eval`` fresh models and the same
+sequential-or-vmapped paths as the in-run eval block.
+
+Usage::
+
+  python -m multimodal_dataset_distillation_tpu.cli.eval_distilled \\
+      --distilled_npz=logged_files/flickr/<run>/distilled_1000.npz \\
+      --dataset=flickr --image_encoder=nfnet --text_encoder=bert \\
+      --num_eval=5 --epoch_eval_train=4 --std True
+"""
+
+from typing import List
+
+import numpy as np
+
+from multimodal_dataset_distillation_tpu.config import Config
+from multimodal_dataset_distillation_tpu.data import get_dataset
+from multimodal_dataset_distillation_tpu.data.textcache import (
+    load_or_process_file,
+    textprocess,
+)
+from multimodal_dataset_distillation_tpu.engine.eval import evaluate_synset
+from multimodal_dataset_distillation_tpu.models.clip_model import (
+    build_bi_encoder,
+)
+
+
+def main(cfg: Config) -> List[dict]:
+    from multimodal_dataset_distillation_tpu.cli.distill import (
+        make_eval_initializer,
+    )
+    from multimodal_dataset_distillation_tpu.parallel.mesh import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
+    if not cfg.distilled_npz:
+        raise SystemExit("--distilled_npz=<path to distilled_{it}.npz> "
+                         "is required")
+    payload = np.load(cfg.distilled_npz)
+    image_syn = payload["image_syn"].astype(np.float32)
+    text_syn = payload["text_syn"].astype(np.float32)
+    lr_net = cfg.lr_net
+    if "syn_lr_img" in payload:
+        lr_net = float(payload["syn_lr_img"])
+        print(f"Using the learned inner LR from the npz: lr_net={lr_net:.6f}")
+    else:
+        print(f"npz has no syn_lr_img (pre-round-3 save); lr_net={lr_net}")
+    print(f"Distilled set: {image_syn.shape[0]} pairs, "
+          f"images {image_syn.shape}, texts {text_syn.shape}")
+
+    _, testloader, _, _ = get_dataset(cfg)
+    data = load_or_process_file("text", textprocess, cfg, testloader)
+    bert_test_embed = data["bert_test_embed"].astype(np.float32)
+
+    eval_cfg = cfg.replace(distill=True, lr_net=lr_net)
+    eval_model = build_bi_encoder(eval_cfg)
+    _eval_init = make_eval_initializer(cfg)
+
+    results: List[dict] = []
+    if cfg.parallel_eval and cfg.num_eval > 1:
+        from multimodal_dataset_distillation_tpu.engine.eval import (
+            evaluate_synset_parallel,
+        )
+
+        var_list = [_eval_init(eval_model, eval_cfg, cfg.seed + 1000 + j)
+                    for j in range(cfg.num_eval)]
+        _, results = evaluate_synset_parallel(
+            cfg.num_eval, eval_model, var_list, image_syn, text_syn,
+            testloader, eval_cfg, bert_test_embed)
+        for j, val in enumerate(results):
+            print(f"Evaluate_{j:02d}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+    else:
+        for j in range(cfg.num_eval):
+            eval_vars = _eval_init(eval_model, eval_cfg, cfg.seed + 1000 + j)
+            _, _, val = evaluate_synset(j, eval_model, eval_vars, image_syn,
+                                        text_syn, testloader, eval_cfg,
+                                        bert_test_embed)
+            results.append(val)
+            print(f"Evaluate_{j:02d}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+
+    if cfg.std and results:
+        for k in results[0]:
+            vals = [r[k] for r in results]
+            print(f"Mean/{k} = {np.mean(vals):.4f}  "
+                  f"Std/{k} = {np.std(vals):.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    from multimodal_dataset_distillation_tpu.config import parse_config
+
+    main(parse_config())

@@ -266,6 +266,10 @@ class Config:
     # off), resume from a distill_ckpt_*.msgpack path
     ckpt_it: int = 0
     resume_from: str = ""
+    # path to a saved distilled_{it}.npz for the eval_distilled CLI
+    # (re-runs the standard synset evaluation on a persisted distilled
+    # set — impossible in the reference, which never saves the tensors)
+    distilled_npz: str = ""
     # expert-parallel training: vmap K independent experts into one XLA
     # program (the reference trains them sequentially, buffer.py:42);
     # shards over the mesh data axis when a mesh is active

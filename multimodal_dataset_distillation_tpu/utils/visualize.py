@@ -60,7 +60,7 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
                         train_caption_embed: np.ndarray,
                         clip_vals: Sequence[float] = (2.5,),
                         save_tensors: bool = True, zca=None,
-                        save_grids: bool = True) -> dict:
+                        save_grids: bool = True, syn_lrs=None) -> dict:
     """Write PNG grids + sentence TXT + distilled-tensor npz; returns paths.
 
     ``save_grids=False`` mirrors the reference's ``ipc >= 50 and not
@@ -72,9 +72,8 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
     out = {}
     if not save_grids:
         if save_tensors:
-            p = os.path.join(save_dir, f"distilled_{it}.npz")
-            np.savez(p, image_syn=image_syn, text_syn=text_syn)
-            out["tensors"] = p
+            out["tensors"] = _save_tensors(save_dir, it, image_syn,
+                                           text_syn, syn_lrs)
         return out
 
     grid = make_grid(image_syn)
@@ -112,7 +111,22 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
             out[f"zca_clipped_{cv}"] = p
 
     if save_tensors:
-        p = os.path.join(save_dir, f"distilled_{it}.npz")
-        np.savez(p, image_syn=image_syn, text_syn=text_syn)
-        out["tensors"] = p
+        out["tensors"] = _save_tensors(save_dir, it, image_syn, text_syn,
+                                       syn_lrs)
     return out
+
+
+def _save_tensors(save_dir: str, it: int, image_syn, text_syn,
+                  syn_lrs=None) -> str:
+    """Distilled-tensor checkpoint (fixes the reference's SURVEY §5.4 gap:
+    distill_original.py:292-296 commented its tensor saves out).  Includes
+    the learned inner LRs when given — evaluate_synset's lr_net IS the
+    learned syn_lr_img (distill.py:312), so a saved set cannot be
+    re-evaluated faithfully without them."""
+    p = os.path.join(save_dir, f"distilled_{it}.npz")
+    extra = {}
+    if syn_lrs is not None:
+        extra = {"syn_lr_img": np.asarray(syn_lrs[0], np.float32),
+                 "syn_lr_txt": np.asarray(syn_lrs[1], np.float32)}
+    np.savez(p, image_syn=image_syn, text_syn=text_syn, **extra)
+    return p
