@@ -359,8 +359,13 @@ def add_reference_flags(parser: argparse.ArgumentParser,
                              "(default: all devices on the data axis)")
     parser.add_argument("--mesh_axes", type=str,
                         default=",".join(cfg.mesh_axes))
+    # lr_net IS exposed (unlike the reference, where it exists only as a
+    # programmatic attribute set from the learned syn_lr, distill.py:312):
+    # the distill eval block still overwrites it with the learned LR each
+    # eval, but eval_distilled.py needs the override for npz saves that
+    # predate the embedded syn_lr_img.
     for f in dataclasses.fields(Config):
-        if f.name in ("mesh_shape", "mesh_axes", "lr_net", "device"):
+        if f.name in ("mesh_shape", "mesh_axes", "device"):
             continue
         flag = f"--{f.name}"
         default = getattr(cfg, f.name)
