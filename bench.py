@@ -279,7 +279,10 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
-    if mesh_n and virtual_mesh:
+    if mesh_n and (virtual_mesh or not on_tpu):
+        # also covers a CPU host that ALREADY has >= mesh_n devices
+        # (e.g. xla_force_host_platform_device_count exported): never
+        # print a TPU-looking line for a CPU run
         unit = (f"outer distill steps/sec ({mesh_n}-device VIRTUAL CPU "
                 f"mesh, correctness only — not TPU throughput)")
     elif mesh_n:

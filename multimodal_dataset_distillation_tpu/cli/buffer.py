@@ -334,16 +334,21 @@ def _run_text_trainable(cfg: Config, save_dir, trainloader, testloader,
 
     tok_owner = TextEncoder(variant=cfg.text_encoder_config,
                             pretrained=cfg.text_pretrained, seed=cfg.seed)
-    dim_key = ("nfnet_transfer" if (cfg.image_encoder == "nfnet"
-                                    and cfg.transfer) else cfg.image_encoder)
+    # cfg.transfer is always False here: main() strips --transfer from
+    # every teacher path (the reference has no such flag in buffer.py,
+    # and a transfer head would change the written trajectory width)
     model = VLBiEncoderTrainableText(
         image_encoder_name=cfg.image_encoder,
-        image_embedding=IMAGE_FEATURE_DIMS.get(dim_key, cfg.image_embedding),
+        image_embedding=IMAGE_FEATURE_DIMS.get(cfg.image_encoder,
+                                               cfg.image_embedding),
         bert_variant=cfg.text_encoder_config,
-        transfer=cfg.transfer)
+        transfer=False)
 
     saved: List[int] = []
     pad_to = 64
+    trainer = None  # ONE trainer (and compiled step) reused per expert —
+    # same hypers every expert, so reset() re-arms init/seed/opt-state
+    # and expert N+1 skips the full recompile expert N paid
     for it in range(cfg.num_experts):
         rng = jax.random.PRNGKey(cfg.seed + it)
         imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
@@ -357,10 +362,13 @@ def _run_text_trainable(cfg: Config, save_dir, trainloader, testloader,
             p = dict(variables["params"])
             p["text_encoder"] = tok_owner.variables["params"]
             variables["params"] = p
-        trainer = TrainableTextTrainer(
-            model, variables, lr_img=cfg.lr_teacher_img,
-            lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom,
-            weight_decay=cfg.l2, seed=cfg.seed + it)
+        if trainer is None:
+            trainer = TrainableTextTrainer(
+                model, variables, lr_img=cfg.lr_teacher_img,
+                lr_txt=cfg.lr_teacher_txt, momentum=cfg.mom,
+                weight_decay=cfg.l2, seed=cfg.seed + it)
+        else:
+            trainer.reset(variables, seed=cfg.seed + it)
 
         img_traj = [trainer.snapshot_image_params()]
         txt_traj = [trainer.snapshot_text_params()]

@@ -83,23 +83,15 @@ def make_eval_initializer(cfg: Config):
     the distill eval block and the eval_distilled CLI)."""
     _eval_sd = None
     if cfg.image_pretrained:
+        # shared locate/load/unwrap + arch gate with the teacher path
+        # (maybe_load_pretrained_image_tower): eval students and teachers
+        # must start from the same weights for the same run
         from multimodal_dataset_distillation_tpu.models.import_torch import (
-            _TIMM_CKPT_NAMES,
-            find_local_timm_checkpoint,
+            load_timm_state_dict,
         )
 
-        # same arch gate as maybe_load_pretrained_image_tower: a generic
-        # $MDD_TIMM_CKPT must not be force-fed to a non-timm encoder
-        # (load_image_tower_weights has no mapping for convnet/vit/...)
-        _ckpt = (find_local_timm_checkpoint(cfg.image_encoder)
-                 if cfg.image_encoder in _TIMM_CKPT_NAMES else None)
-        if _ckpt:
-            import torch as _torch
-
-            _eval_sd = _torch.load(_ckpt, map_location="cpu",
-                                   weights_only=True)
-            if isinstance(_eval_sd, dict) and "state_dict" in _eval_sd:
-                _eval_sd = _eval_sd["state_dict"]
+        _eval_sd, _ckpt = load_timm_state_dict(cfg.image_encoder)
+        if _eval_sd is not None:
             print(f"Eval students use pretrained image tower: {_ckpt}")
 
     def _eval_init(eval_model, eval_cfg, seed):
@@ -218,7 +210,8 @@ def main(cfg: Config):
     cycler = ExpertCycler(img_files, txt_files, cfg.max_start_epoch,
                           cfg.expert_epochs, cfg.max_files, seed=cfg.seed,
                           load_all=cfg.load_all, max_experts=cfg.max_experts,
-                          device_cache_cap=cfg.traj_cache_cap)
+                          device_cache_cap=cfg.traj_cache_cap,
+                          prefetch=cfg.traj_prefetch)
 
     # sanity: buffer width must match this student's flat size
     seg = cycler.img_buffer[0]

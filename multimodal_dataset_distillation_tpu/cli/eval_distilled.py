@@ -48,8 +48,16 @@ def main(cfg: Config) -> List[dict]:
     payload = np.load(cfg.distilled_npz)
     image_syn = payload["image_syn"].astype(np.float32)
     text_syn = payload["text_syn"].astype(np.float32)
+    from multimodal_dataset_distillation_tpu.config import explicit_flags
+
+    # precedence: explicit --lr_net > npz-embedded learned LR > default
+    # (an LR sweep over a saved set must not be silently pinned to the
+    # embedded value)
     lr_net = cfg.lr_net
-    if "syn_lr_img" in payload:
+    if "lr_net" in explicit_flags():
+        print(f"Using the explicit --lr_net={lr_net} (overrides the "
+              "npz-embedded learned LR)")
+    elif "syn_lr_img" in payload:
         lr_net = float(payload["syn_lr_img"])
         print(f"Using the learned inner LR from the npz: lr_net={lr_net:.6f}")
     else:

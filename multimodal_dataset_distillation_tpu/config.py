@@ -293,6 +293,12 @@ class Config:
     # 1 rotating slot).  Size it so cap * trajectory_bytes fits next to
     # the step temps; <=0 disables device caching (re-upload per step)
     traj_cache_cap: int = 4
+    # overlap the NEXT trajectory's host->device transfer with the
+    # running outer step (one-step-lookahead worker thread): hides the
+    # rotation-miss transfer cost when more trajectories cycle than
+    # traj_cache_cap can pin (the reference-scale case: 20-100 experts).
+    # cache + in-flight stays <= traj_cache_cap; no-op when all fit
+    traj_prefetch: bool = True
     # optional global-norm clipping of the three outer distillation
     # gradients (0 = off = reference behavior); guards against the
     # syn_lr runaway divergence mode at aggressive outer LRs
@@ -387,6 +393,17 @@ def add_reference_flags(parser: argparse.ArgumentParser,
         else:
             parser.add_argument(flag, type=str, default=default)
     return parser
+
+
+def explicit_flags(argv: Optional[Sequence[str]] = None) -> set:
+    """Names of flags explicitly present on the command line — for the
+    few places where 'user typed it' must beat a data-derived value
+    (e.g. eval_distilled: an explicit --lr_net overrides the learned LR
+    embedded in the npz; the argparse default cannot encode that)."""
+    import sys
+
+    toks = list(sys.argv[1:]) if argv is None else list(argv)
+    return {t[2:].split("=", 1)[0] for t in toks if t.startswith("--")}
 
 
 def parse_config(argv: Optional[Sequence[str]] = None,

@@ -675,7 +675,7 @@ class ExpertCycler:
                  max_start_epoch: int, expert_epochs: int,
                  max_files: Optional[int] = None, seed: int = 0,
                  load_all: bool = False, max_experts: Optional[int] = None,
-                 device_cache_cap: int = 4):
+                 device_cache_cap: int = 4, prefetch: bool = True):
         from multimodal_dataset_distillation_tpu.engine.buffer_io import load_buffer
 
         self._load = load_buffer
@@ -708,11 +708,30 @@ class ExpertCycler:
         # stay pinned and one slot rotates, giving a (cap-1)/N hit rate
         # for N>cap in rotation (Belady-optimal for a cyclic scan) and
         # full hits when N<=cap.  ``device_cache_cap`` (--traj_cache_cap)
-        # sizes it; <=0 disables caching entirely.
+        # sizes it; <=0 disables caching entirely.  With prefetch on
+        # (below), one slot is reserved for the in-flight transfer, so
+        # cap-2 stay pinned — the misses that remain no longer stall the
+        # step loop, which dominates the extra miss.
         from collections import OrderedDict
 
         self._device_cache: "OrderedDict[Any, Tuple[Any, Any]]" = OrderedDict()
         self._device_cache_cap = device_cache_cap
+        # one-step-lookahead prefetch (--traj_prefetch): once _advance has
+        # moved the cursors, (file_idx, expert_idx) IS the next trajectory,
+        # so its device_put can start on a worker thread while the current
+        # outer step runs.  At reference scale (20-100 experts rotating
+        # through a 4-slot cache, distill.py:450-465) every rotation miss
+        # otherwise pays a synchronous multi-hundred-MB host->device
+        # transfer inside the step loop.  The budget below keeps
+        # cache + in-flight <= cap, so HBM use never exceeds the cap the
+        # user sized.  No-op when every trajectory fits (N <= cap).
+        self._pending: Dict[Any, Any] = {}
+        self._prefetch_pool = None
+        if prefetch and device_cache_cap >= 2:
+            import concurrent.futures as _cf
+
+            self._prefetch_pool = _cf.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="traj_prefetch")
         self._shuffle()
         self.file_idx = 0
         self.expert_idx = 0
@@ -788,17 +807,73 @@ class ExpertCycler:
             return (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
                     _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)),
                     start)
+        # reap stale prefetches first: any pending entry for a key other
+        # than the one being served has no consumer (cursors moved without
+        # us — e.g. a checkpoint restore, or interleaved next_segment()
+        # calls) and would otherwise pin GBs of device memory and one
+        # cache-budget slot forever
+        for stale in [k for k in self._pending if k != key]:
+            self._pending.pop(stale)
         hit = self._device_cache.get(key)
         if hit is None:
-            hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
-                   _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)))
+            fut = self._pending.pop(key, None)
+            if fut is not None:
+                hit = fut.result()  # transfer overlapped the last step
+            else:
+                hit = (_jax.device_put(_jnp.asarray(img_traj, _jnp.float32)),
+                       _jax.device_put(_jnp.asarray(txt_traj, _jnp.float32)))
             self._device_cache[key] = hit
             while len(self._device_cache) > self._device_cache_cap:
                 # evict the most-recent entry EXCLUDING the one just
                 # inserted (see cache-policy comment in __init__)
                 victims = [k for k in self._device_cache if k != key]
                 self._device_cache.pop(victims[-1])
+        self._maybe_prefetch(key)
         return hit[0], hit[1], start
+
+    def _maybe_prefetch(self, current_key) -> None:
+        """Start the NEXT trajectory's host->device transfer on the worker
+        thread (see the __init__ comment).  Cursor state after _advance
+        already points at the next (file, expert); its host buffer is
+        loaded.  Keeps len(cache) + len(pending) <= cap, never evicting
+        the in-use or incoming entry; skips (rather than over-commits)
+        when no safe victim exists."""
+        if self._prefetch_pool is None:
+            return
+        nxt = (self.img_files[self.file_idx], self.expert_idx)
+        if nxt in self._device_cache or nxt in self._pending:
+            return
+        img = self.img_buffer[self.expert_idx]
+        txt = self.txt_buffer[self.expert_idx]
+        while (len(self._device_cache) + len(self._pending)
+               >= self._device_cache_cap):
+            victims = [k for k in self._device_cache
+                       if k not in (current_key, nxt)]
+            if not victims:
+                return
+            self._device_cache.pop(victims[-1])
+
+        def put():
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            return (_jax.device_put(_jnp.asarray(img, _jnp.float32)),
+                    _jax.device_put(_jnp.asarray(txt, _jnp.float32)))
+
+        self._pending[nxt] = self._prefetch_pool.submit(put)
+
+    def close(self) -> None:
+        """Drop in-flight prefetches and stop the worker thread."""
+        self._pending.clear()
+        if self._prefetch_pool is not None:
+            self._prefetch_pool.shutdown(wait=False)
+            self._prefetch_pool = None
+
+    def __del__(self):  # best-effort: frees the worker on GC
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -466,6 +466,18 @@ class TrainableTextTrainer:
         self.rng = jax.random.PRNGKey(seed)
         self._step = self._build_step()
 
+    def reset(self, variables: Dict, *, seed: int):
+        """Re-arm with a fresh init/seed WITHOUT rebuilding the jitted
+        step — the ROCO expert loop (cli/buffer.py) trains num_experts
+        teachers at the SAME constant hypers, so one compiled program
+        serves the whole run (cf. BiEncoderTrainer.reset; on
+        remote-compile hosts the rebuild was minutes per expert)."""
+        self.variables = dict(variables)
+        params = self.variables["params"]
+        self.opt_img = self.tx_img.init(params["image_encoder"])
+        self.opt_txt = self.tx_txt.init(params["text_encoder"])
+        self.rng = jax.random.PRNGKey(seed)
+
     def _build_step(self):
         model, tx_img, tx_txt = self.model, self.tx_img, self.tx_txt
 

@@ -247,6 +247,26 @@ def find_local_timm_checkpoint(arch: str) -> "str | None":
     return None
 
 
+def load_timm_state_dict(arch: str) -> "tuple[Dict[str, Any] | None, str | None]":
+    """(state_dict, path) of the local timm checkpoint for ``arch``, or
+    (None, None).  The single place that knows how to locate/load/unwrap
+    a timm file — teachers (maybe_load_pretrained_image_tower) and eval
+    students (cli/distill.make_eval_initializer) must start from the
+    SAME weights for the same --image_pretrained run, so both go through
+    here (same arch gate, same 'state_dict' unwrap)."""
+    if arch not in _TIMM_CKPT_NAMES:
+        return None, None
+    path = find_local_timm_checkpoint(arch)
+    if path is None:
+        return None, None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd, path
+
+
 def maybe_load_pretrained_image_tower(variables: Dict[str, Any],
                                       arch: str) -> "tuple[Dict[str, Any], str | None]":
     """Replace the image tower with local timm weights when available.
@@ -257,14 +277,7 @@ def maybe_load_pretrained_image_tower(variables: Dict[str, Any],
     back to the existing (random) init when none exists.  Returns
     ``(variables, checkpoint_path_or_None)``.
     """
-    if arch not in _TIMM_CKPT_NAMES:
+    sd, path = load_timm_state_dict(arch)
+    if sd is None:
         return variables, None
-    path = find_local_timm_checkpoint(arch)
-    if path is None:
-        return variables, None
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
     return load_image_tower_weights(variables, sd, arch=arch), path

@@ -57,7 +57,6 @@ from __future__ import annotations
 
 import contextlib
 import functools
-import os
 from typing import Any, Tuple
 
 import jax
@@ -69,9 +68,11 @@ _ACTIVE = False
 
 def resolve(cfg) -> bool:
     """cfg.fused_jvp with the MDD_FUSED_JVP env override (bench A/Bs)."""
-    env = os.environ.get("MDD_FUSED_JVP")
+    from multimodal_dataset_distillation_tpu.utils.env import env_bool
+
+    env = env_bool("MDD_FUSED_JVP")
     if env is not None:
-        return env not in ("0", "false", "False", "")
+        return env
     return bool(getattr(cfg, "fused_jvp", False))
 
 

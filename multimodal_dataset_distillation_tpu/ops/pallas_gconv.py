@@ -84,12 +84,13 @@ def configure(cfg) -> None:
 
 
 def enabled() -> bool:
-    import os
+    from multimodal_dataset_distillation_tpu.utils.env import env_bool
+
     if _FORCED_OFF:
         return False
-    env = os.environ.get("MDD_PALLAS_GCONV")
+    env = env_bool("MDD_PALLAS_GCONV")
     if env is not None:
-        return env == "1"
+        return env
     return _ENABLED
 
 

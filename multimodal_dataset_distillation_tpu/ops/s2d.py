@@ -47,12 +47,13 @@ fresh jitted function (jit does not key on globals).
 
 from __future__ import annotations
 
-import os
 from typing import Tuple
 
 import jax.numpy as jnp
 
-_ENABLED = os.environ.get("MDD_STEM_S2D", "") == "1"
+from multimodal_dataset_distillation_tpu.utils.env import env_bool
+
+_ENABLED = bool(env_bool("MDD_STEM_S2D"))
 
 
 def set_enabled(on: bool) -> None:
@@ -68,9 +69,11 @@ def configure(cfg) -> None:
     otherwise ``MDD_STEM_S2D=1 python distill.py`` would silently
     measure the plain stem (cfg.stem_s2d defaults False).
     """
-    env = os.environ.get("MDD_STEM_S2D")
-    if env is not None and env != "":
-        set_enabled(env == "1")
+    from multimodal_dataset_distillation_tpu.utils.env import env_bool
+
+    env = env_bool("MDD_STEM_S2D")
+    if env is not None:
+        set_enabled(env)
     else:
         set_enabled(bool(getattr(cfg, "stem_s2d", False)))
 

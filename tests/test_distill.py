@@ -396,3 +396,70 @@ def test_hvp_forward_finite_difference(inner_scale):
             an = float(grads[j])
             assert np.isfinite(fd) and np.isfinite(an)
             assert abs(fd - an) < 1e-4 * max(1.0, abs(fd)), (name, fd, an)
+
+
+def test_cycler_prefetch_matches_sync(tmp_path):
+    """--traj_prefetch: the one-step-lookahead device transfer must be
+    invisible — identical trajectories/starts vs the synchronous path,
+    and HBM budget (cache + in-flight) bounded by traj_cache_cap."""
+    import os
+
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import (
+        save_expert,
+    )
+    from multimodal_dataset_distillation_tpu.engine.distill import (
+        ExpertCycler,
+    )
+
+    rng = np.random.RandomState(0)
+    bdir = str(tmp_path / "buffers")
+    for _ in range(5):  # 5 single-expert files > cap=2: rotation misses
+        traj = [{"w": rng.randn(4).astype(np.float32)} for _ in range(3)]
+        ttraj = [{"w": rng.randn(2).astype(np.float32)} for _ in range(3)]
+        save_expert(bdir, traj, ttraj, write_pt=False)
+    files = sorted(os.listdir(bdir))
+    img_files = [os.path.join(bdir, f) for f in files if f.startswith("img")]
+    txt_files = [os.path.join(bdir, f) for f in files if f.startswith("txt")]
+
+    kw = dict(max_start_epoch=2, expert_epochs=1, seed=0,
+              device_cache_cap=2)
+    sync = ExpertCycler(img_files, txt_files, prefetch=False, **kw)
+    pre = ExpertCycler(img_files, txt_files, prefetch=True, **kw)
+    assert pre._prefetch_pool is not None
+
+    for i in range(13):  # > 2 full rotations incl. the wraparound shuffle
+        si, st, ss = sync.next_segment_device()
+        pi, pt, ps = pre.next_segment_device()
+        assert ss == ps, i
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi))
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(pt))
+        assert (len(pre._device_cache) + len(pre._pending)) <= 2, i
+
+
+def test_cycler_prefetch_disabled_below_cap_two(tmp_path):
+    """cap<2 cannot hold current+incoming: prefetch must self-disable."""
+    import os
+
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import (
+        save_expert,
+    )
+    from multimodal_dataset_distillation_tpu.engine.distill import (
+        ExpertCycler,
+    )
+
+    rng = np.random.RandomState(0)
+    bdir = str(tmp_path / "buffers")
+    for _ in range(2):
+        traj = [{"w": rng.randn(4).astype(np.float32)} for _ in range(3)]
+        ttraj = [{"w": rng.randn(2).astype(np.float32)} for _ in range(3)]
+        save_expert(bdir, traj, ttraj, write_pt=False)
+    files = sorted(os.listdir(bdir))
+    img_files = [os.path.join(bdir, f) for f in files if f.startswith("img")]
+    txt_files = [os.path.join(bdir, f) for f in files if f.startswith("txt")]
+
+    cyc = ExpertCycler(img_files, txt_files, max_start_epoch=2,
+                       expert_epochs=1, seed=0, device_cache_cap=1,
+                       prefetch=True)
+    assert cyc._prefetch_pool is None
+    cyc.next_segment_device()  # still serves
+    assert not cyc._pending

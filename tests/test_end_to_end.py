@@ -183,15 +183,11 @@ def test_generic_timm_ckpt_env_ignored_for_non_timm_encoder(
     assert history, "eval block did not run"
 
 
-def test_eval_distilled_cli(tiny_cfg, _chdir_tmp):
-    """eval_distilled CLI: re-evaluate a persisted distilled_{it}.npz with
-    fresh models — a capability the reference lacks entirely (it comments
-    out its tensor saves, distill_original.py:292-296)."""
+def _find_or_make_distilled_npz(tiny_cfg, _chdir_tmp):
+    """Locate a distilled npz from the pipeline test (same-module order);
+    regenerate standalone if absent (dummy-buffer bootstrap, 0 iters)."""
     from multimodal_dataset_distillation_tpu.cli.distill import main as distill_main
-    from multimodal_dataset_distillation_tpu.cli.eval_distilled import main as eval_main
 
-    # locate a distilled npz from the pipeline test (same-module order);
-    # regenerate standalone if absent (dummy-buffer bootstrap, 0 iters)
     found = None
     base = os.path.join(tiny_cfg.save_dir, "synthetic")
     for root, _dirs, files in os.walk(base):
@@ -208,6 +204,16 @@ def test_eval_distilled_cli(tiny_cfg, _chdir_tmp):
                 if f.startswith("distilled_"):
                     found = os.path.join(root, f)
     assert found, "no distilled npz produced"
+    return found
+
+
+def test_eval_distilled_cli(tiny_cfg, _chdir_tmp):
+    """eval_distilled CLI: re-evaluate a persisted distilled_{it}.npz with
+    fresh models — a capability the reference lacks entirely (it comments
+    out its tensor saves, distill_original.py:292-296)."""
+    from multimodal_dataset_distillation_tpu.cli.eval_distilled import main as eval_main
+
+    found = _find_or_make_distilled_npz(tiny_cfg, _chdir_tmp)
 
     payload = np.load(found)
     # round-3 saves persist the learned inner LRs (lr_net of the eval)
@@ -222,3 +228,27 @@ def test_eval_distilled_cli(tiny_cfg, _chdir_tmp):
     for r in results:
         assert set(r) == keys
         assert all(np.isfinite(v) for v in r.values())
+
+
+def test_eval_distilled_explicit_lr_net_overrides(tiny_cfg, _chdir_tmp,
+                                                  monkeypatch, capsys):
+    """Precedence: explicit --lr_net > npz-embedded learned LR > default
+    (an LR sweep over a saved set must not be pinned to the embedded
+    value)."""
+    import sys
+
+    from multimodal_dataset_distillation_tpu.cli.eval_distilled import (
+        main as eval_main,
+    )
+
+    found = _find_or_make_distilled_npz(tiny_cfg, _chdir_tmp)
+    assert "syn_lr_img" in np.load(found)  # embedded LR present...
+
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_distilled.py", "--lr_net=0.123"])
+    cfg = tiny_cfg.replace(distilled_npz=found, num_eval=1, std=False,
+                           parallel_eval=False, lr_net=0.123)
+    results = eval_main(cfg)
+    out = capsys.readouterr().out
+    assert "explicit --lr_net" in out  # ...but the flag wins
+    assert len(results) == 1 and np.isfinite(results[0]["r_mean"])

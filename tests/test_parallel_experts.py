@@ -159,3 +159,44 @@ def test_bf16_expert_training_tracks_f32():
     # master params stay f32
     leaves = jax.tree_util.tree_leaves(b.variables["params"])
     assert all(np.asarray(x).dtype == np.float32 for x in leaves)
+
+
+def test_trainable_text_reset_matches_fresh():
+    """ROCO expert-loop trainer reuse (cli/buffer.py): reset() must
+    reproduce a freshly-constructed TrainableTextTrainer bit-exactly —
+    same variables, zeroed optimizer traces, same RNG chain."""
+    from multimodal_dataset_distillation_tpu.engine.expert import (
+        TrainableTextTrainer,
+    )
+    from multimodal_dataset_distillation_tpu.models.clip_model import (
+        VLBiEncoderTrainableText,
+    )
+
+    model = VLBiEncoderTrainableText(image_encoder_name="convnet_tiny",
+                                     image_embedding=64, bert_variant="tiny")
+    rng = jax.random.PRNGKey(3)
+    imgs = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, imgs, ids,
+                           jnp.ones_like(ids))
+
+    r = np.random.RandomState(1)
+    batches = [(r.randn(4, 16, 16, 3).astype(np.float32),
+                r.randint(1, 100, (4, 16)).astype(np.int32),
+                np.ones((4, 16), np.int32)) for _ in range(2)]
+
+    fresh = TrainableTextTrainer(model, variables, lr_img=0.05, lr_txt=0.01,
+                                 momentum=0.9, weight_decay=5e-4, seed=7)
+    for b in batches:
+        fresh.train_batch(*b)
+
+    reused = TrainableTextTrainer(model, variables, lr_img=0.05, lr_txt=0.01,
+                                  momentum=0.9, weight_decay=5e-4, seed=0)
+    reused.train_batch(*batches[0])  # dirty the state (expert 0)
+    reused.reset(variables, seed=7)  # re-arm as expert 1
+    for b in batches:
+        reused.train_batch(*b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.variables),
+                    jax.tree_util.tree_leaves(reused.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
