@@ -431,6 +431,7 @@ def main(cfg: Config):
             print(f"Checkpointed outer loop -> {p}")
 
     drain(pending)
+    cycler.close()  # stop the prefetch worker / drop in-flight transfers
     logger.finish()
     return distiller, history
 

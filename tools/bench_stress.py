@@ -5,6 +5,10 @@
    stresses scan memory/remat (the reference OOMs well before this).
 2. Expert step: NFNet-L0 + projection, batch 128 @224 — images/sec and
    epochs/hr on Flickr-sized data (29k pairs).
+
+Env knobs for the stress sweep (the headline's unroll tuning never
+covered syn_steps=20 — DESIGN §10 scaling table): NQ, SYN_STEPS,
+UNROLL, FR_RESID, ITERS; SKIP_EXPERT=1 skips the expert-step section.
 """
 import os
 import sys
@@ -15,28 +19,64 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def _stress(model, variables, rng):
     from multimodal_dataset_distillation_tpu.config import Config
     from multimodal_dataset_distillation_tpu.engine.distill import Distiller
+    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
+
+    nq = int(os.environ.get("NQ", 500))
+    syn_steps = int(os.environ.get("SYN_STEPS", 20))
+    unroll = int(os.environ.get("UNROLL", 1))
+    stress_iters = int(os.environ.get("ITERS", 3))
+    cfg = Config(image_encoder="nfnet", image_size=224, num_queries=nq,
+                 syn_steps=syn_steps, mini_batch_size=100, expert_epochs=1,
+                 inner_dtype="bfloat16", scan_unroll=unroll,
+                 fr_resid_dtype=os.environ.get("FR_RESID", "carry"),
+                 lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
+    d = Distiller(cfg, model, variables,
+                  rng.randn(nq, 224, 224, 3).astype(np.float32),
+                  rng.randn(nq, 768).astype(np.float32))
+    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
+    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
+    i0 = np.asarray(img_flat)
+    t0_ = np.asarray(txt_flat)
+    traj_i = d.put_trajectory(np.stack([i0, i0 * 1.01]))
+    traj_t = d.put_trajectory(np.stack([t0_, t0_ * 1.01]))
+    m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))  # compile
+    float(m["grand_loss"])
+    t0 = time.perf_counter()
+    for _ in range(stress_iters):
+        m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
+        float(m["grand_loss"])
+    dt = (time.perf_counter() - t0) / stress_iters
+    print(f"scaled distill (nq={nq}, syn_steps={syn_steps}, "
+          f"unroll={unroll}, fr_resid={cfg.fr_resid_dtype}): "
+          f"{dt:.2f} s/step, "
+          f"loss={float(m['grand_loss']):.4f} (finite="
+          f"{np.isfinite(float(m['grand_loss']))})")
+
+
+def main():
+    import jax
+
+    from multimodal_dataset_distillation_tpu.config import Config
     from multimodal_dataset_distillation_tpu.engine.expert import (
         BiEncoderTrainer, init_bi_encoder)
     from multimodal_dataset_distillation_tpu.models.clip_model import (
         build_bi_encoder)
-    from multimodal_dataset_distillation_tpu.utils.flat import flatten_params
 
-    # ---- expert step throughput ----
     cfg = Config(image_encoder="nfnet", image_size=224,
                  train_dtype="bfloat16", seed=0)
     model = build_bi_encoder(cfg)
     variables = init_bi_encoder(model, cfg)
+    rng = np.random.RandomState(0)
+    if os.environ.get("SKIP_EXPERT"):  # sweep mode: distill stress only
+        _stress(model, variables, rng)
+        return
+
+    # ---- expert step throughput ----
     tr = BiEncoderTrainer(model, variables, lr_img=0.1, lr_txt=0.1,
                           compute_dtype="bfloat16", seed=0)
-    import jax
-
-    rng = np.random.RandomState(0)
     # pre-upload the batch ONCE: on an axon-tunnel host, jnp.asarray of a
     # 77 MB numpy batch inside the loop measures the tunnel (~2 s/batch),
     # not the step; production hosts feed via the prefetching Loader, so
@@ -58,27 +98,7 @@ def main():
           f"[per-step host sync included; device roofline: DESIGN §11]")
 
     # ---- scaled distill stress ----
-    cfg = Config(image_encoder="nfnet", image_size=224, num_queries=500,
-                 syn_steps=20, mini_batch_size=100, expert_epochs=1,
-                 inner_dtype="bfloat16", scan_unroll=1,
-                 lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0)
-    d = Distiller(cfg, model, variables,
-                  rng.randn(500, 224, 224, 3).astype(np.float32),
-                  rng.randn(500, 768).astype(np.float32))
-    img_flat, _ = flatten_params(variables["params"]["image_encoder"])
-    txt_flat, _ = flatten_params(variables["params"]["text_projection"])
-    i0 = np.asarray(img_flat); t0_ = np.asarray(txt_flat)
-    traj_i = d.put_trajectory(np.stack([i0, i0 * 1.01]))
-    traj_t = d.put_trajectory(np.stack([t0_, t0_ * 1.01]))
-    m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))  # compile
-    t0 = time.perf_counter()
-    for _ in range(3):
-        m = d.step_traj(traj_i, traj_t, 0, d.sample_indices(rng))
-        float(m["grand_loss"])
-    dt = (time.perf_counter() - t0) / 3
-    print(f"scaled distill (nq=500, syn_steps=20): {dt:.2f} s/step, "
-          f"loss={float(m['grand_loss']):.4f} (finite="
-          f"{np.isfinite(float(m['grand_loss']))})")
+    _stress(model, variables, rng)
 
 
 if __name__ == "__main__":
