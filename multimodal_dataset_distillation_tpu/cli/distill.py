@@ -375,7 +375,8 @@ def main(cfg: Config):
                     # the distilled-tensor npz always saves
                     save_grids=cfg.ipc < 50 or cfg.force_save,
                     syn_lrs=(distiller.state.syn_lr_img,
-                             distiller.state.syn_lr_txt))
+                             distiller.state.syn_lr_txt),
+                    save_pt=cfg.save_pt)
                 # rich-artifact parity with the reference's per-eval wandb
                 # logging (distill.py:386-394): image grids, pixel/text
                 # histograms, decoded-sentence HTML table

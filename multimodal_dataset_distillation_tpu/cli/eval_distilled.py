@@ -1,4 +1,5 @@
-"""Evaluate a saved distilled dataset (``distilled_{it}.npz``).
+"""Evaluate a saved distilled dataset (``distilled_{it}.npz`` or a
+``--save_pt`` ``images_{it}.pt``/``labels_{it}.pt`` pair).
 
 New capability beyond the reference: upstream comments out its distilled
 tensor saves (distill_original.py:292-296), so a finished reference run
@@ -43,11 +44,30 @@ def main(cfg: Config) -> List[dict]:
 
     setup_compilation_cache()
     if not cfg.distilled_npz:
-        raise SystemExit("--distilled_npz=<path to distilled_{it}.npz> "
-                         "is required")
-    payload = np.load(cfg.distilled_npz)
-    image_syn = payload["image_syn"].astype(np.float32)
-    text_syn = payload["text_syn"].astype(np.float32)
+        raise SystemExit("--distilled_npz=<path to distilled_{it}.npz or "
+                         "images_{it}.pt> is required")
+    if cfg.distilled_npz.endswith(".pt"):
+        # --save_pt round trip: images_{it}.pt (NCHW) + sibling
+        # labels_{it}.pt.  No learned-LR sidecar in the reference's
+        # format — pass --lr_net (or rely on the default).
+        import os
+
+        import torch
+
+        payload = {}
+        imgs = torch.load(cfg.distilled_npz, map_location="cpu",
+                          weights_only=True)
+        image_syn = np.asarray(imgs, np.float32).transpose(0, 2, 3, 1)
+        lbl = cfg.distilled_npz.replace("images_", "labels_")
+        if lbl == cfg.distilled_npz or not os.path.exists(lbl):
+            raise SystemExit(f"Sibling labels file not found: {lbl}")
+        text_syn = np.asarray(
+            torch.load(lbl, map_location="cpu", weights_only=True),
+            np.float32)
+    else:
+        payload = np.load(cfg.distilled_npz)
+        image_syn = payload["image_syn"].astype(np.float32)
+        text_syn = payload["text_syn"].astype(np.float32)
     from multimodal_dataset_distillation_tpu.config import explicit_flags
 
     # precedence: explicit --lr_net > npz-embedded learned LR > default
@@ -61,7 +81,8 @@ def main(cfg: Config) -> List[dict]:
         lr_net = float(payload["syn_lr_img"])
         print(f"Using the learned inner LR from the npz: lr_net={lr_net:.6f}")
     else:
-        print(f"npz has no syn_lr_img (pre-round-3 save); lr_net={lr_net}")
+        print("No embedded learned LR (pre-round-3 npz or .pt pair); "
+              f"lr_net={lr_net}")
     print(f"Distilled set: {image_syn.shape[0]} pairs, "
           f"images {image_syn.shape}, texts {text_syn.shape}")
 

@@ -115,6 +115,12 @@ class Config:
     # ---- misc (reference surface) ----
     draw: bool = True
     force_save: bool = False
+    # ALSO write the reference's torch tensor artifacts next to the npz:
+    # images_{it}.pt (NCHW float32) / labels_{it}.pt (text embeddings) —
+    # the saves distill_original.py:292-296 left commented out — and,
+    # under --zca, the fork's live images_zca_{it}.pt (distill.py:410).
+    # Lets torch pipelines consume a distilled set without reading npz.
+    save_pt: bool = False
     ipc: int = 1
     name: str = field(
         default_factory=lambda: datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")

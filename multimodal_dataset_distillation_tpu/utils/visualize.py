@@ -60,7 +60,8 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
                         train_caption_embed: np.ndarray,
                         clip_vals: Sequence[float] = (2.5,),
                         save_tensors: bool = True, zca=None,
-                        save_grids: bool = True, syn_lrs=None) -> dict:
+                        save_grids: bool = True, syn_lrs=None,
+                        save_pt: bool = False) -> dict:
     """Write PNG grids + sentence TXT + distilled-tensor npz; returns paths.
 
     ``save_grids=False`` mirrors the reference's ``ipc >= 50 and not
@@ -70,6 +71,8 @@ def save_visualizations(save_dir: str, it: int, image_syn: np.ndarray,
     """
     os.makedirs(save_dir, exist_ok=True)
     out = {}
+    if save_pt:
+        out.update(_save_torch(save_dir, it, image_syn, text_syn, zca))
     if not save_grids:
         if save_tensors:
             out["tensors"] = _save_tensors(save_dir, it, image_syn,
@@ -130,3 +133,34 @@ def _save_tensors(save_dir: str, it: int, image_syn, text_syn,
                  "syn_lr_txt": np.asarray(syn_lrs[1], np.float32)}
     np.savez(p, image_syn=image_syn, text_syn=text_syn, **extra)
     return p
+
+
+def _save_torch(save_dir: str, it: int, image_syn, text_syn,
+                zca=None) -> dict:
+    """Torch-format distilled artifacts (``--save_pt``): the reference's
+    ``images_{it}.pt`` / ``labels_{it}.pt`` tensor saves — present but
+    commented out at distill_original.py:292-296 — plus the fork's LIVE
+    ``images_zca_{it}.pt`` de-whitened save (distill.py:407-410) when ZCA
+    is active.  Images go out NCHW float32 (the torch convention a
+    reference-side consumer expects); our canonical layout is NHWC."""
+    import torch
+
+    out = {}
+    imgs = np.ascontiguousarray(
+        np.asarray(image_syn, np.float32).transpose(0, 3, 1, 2))
+    p = os.path.join(save_dir, f"images_{it}.pt")
+    torch.save(torch.from_numpy(imgs), p)
+    out["images_pt"] = p
+    p = os.path.join(save_dir, f"labels_{it}.pt")
+    # explicit copy: text_syn may arrive as a read-only numpy view
+    # (torch.from_numpy warns on non-writable arrays)
+    torch.save(torch.from_numpy(np.array(text_syn, np.float32)), p)
+    out["labels_pt"] = p
+    if zca is not None:
+        recon = np.ascontiguousarray(np.asarray(
+            zca.inverse_transform(np.asarray(image_syn)),
+            np.float32).transpose(0, 3, 1, 2))
+        p = os.path.join(save_dir, f"images_zca_{it}.pt")
+        torch.save(torch.from_numpy(recon), p)
+        out["images_zca_pt"] = p
+    return out

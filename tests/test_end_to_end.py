@@ -230,6 +230,37 @@ def test_eval_distilled_cli(tiny_cfg, _chdir_tmp):
         assert all(np.isfinite(v) for v in r.values())
 
 
+def test_eval_distilled_pt_pair(tiny_cfg, _chdir_tmp):
+    """--save_pt round trip: the reference-named images_{it}.pt /
+    labels_{it}.pt pair is accepted by eval_distilled directly (NCHW ->
+    NHWC), producing the same metrics as the sibling npz (the arrays are
+    identical; only the container differs — the learned-LR default also
+    matches because the npz embeds what the run learned and the .pt path
+    falls back to --lr_net)."""
+    import torch
+
+    from multimodal_dataset_distillation_tpu.cli.eval_distilled import (
+        main as eval_main,
+    )
+
+    found = _find_or_make_distilled_npz(tiny_cfg, _chdir_tmp)
+    payload = np.load(found)
+    d = os.path.dirname(found)
+    torch.save(torch.from_numpy(
+        payload["image_syn"].transpose(0, 3, 1, 2).copy()),
+        os.path.join(d, "images_9.pt"))
+    torch.save(torch.from_numpy(payload["text_syn"].copy()),
+               os.path.join(d, "labels_9.pt"))
+
+    lr = float(payload["syn_lr_img"])
+    base = tiny_cfg.replace(num_eval=1, std=False, parallel_eval=False,
+                            lr_net=lr)
+    r_npz = eval_main(base.replace(distilled_npz=found))
+    r_pt = eval_main(base.replace(
+        distilled_npz=os.path.join(d, "images_9.pt")))
+    assert r_pt[0] == r_npz[0]
+
+
 def test_eval_distilled_explicit_lr_net_overrides(tiny_cfg, _chdir_tmp,
                                                   monkeypatch, capsys):
     """Precedence: explicit --lr_net > npz-embedded learned LR > default

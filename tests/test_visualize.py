@@ -45,6 +45,54 @@ def test_save_visualizations_artifacts(tmp_path):
     assert len(decoded) == len(img) and set(decoded) <= set(sents)
 
 
+def test_save_pt_reference_artifacts(tmp_path):
+    """--save_pt writes the reference's torch tensor artifacts
+    (images_{it}.pt / labels_{it}.pt, distill_original.py:292-296) in
+    NCHW, exactly round-trippable back to the NHWC originals."""
+    import torch
+
+    img, txt = _syn()
+    embed = np.random.RandomState(1).randn(5, 16).astype(np.float32)
+    sents = [f"s{i}" for i in range(5)]
+    arts = save_visualizations(str(tmp_path), 11, img, txt, sents, embed,
+                               save_pt=True)
+    assert "images_pt" in arts and "labels_pt" in arts
+    imgs_pt = torch.load(str(tmp_path / "images_11.pt"), weights_only=True)
+    assert tuple(imgs_pt.shape) == (img.shape[0], 3, 8, 8)  # NCHW
+    np.testing.assert_array_equal(
+        np.asarray(imgs_pt).transpose(0, 2, 3, 1), img)
+    np.testing.assert_array_equal(
+        np.asarray(torch.load(str(tmp_path / "labels_11.pt"),
+                              weights_only=True)), txt)
+    # default off: no .pt artifacts
+    arts = save_visualizations(str(tmp_path), 12, img, txt, sents, embed)
+    assert not (tmp_path / "images_12.pt").exists()
+
+
+def test_save_pt_zca_live_fork_save(tmp_path):
+    """Under ZCA, --save_pt also writes the fork's LIVE de-whitened
+    images_zca_{it}.pt (distill.py:407-410)."""
+    import torch
+
+    from multimodal_dataset_distillation_tpu.ops.zca import ZCAWhitening
+
+    rng = np.random.RandomState(2)
+    fit = rng.randn(32, 8, 8, 3).astype(np.float32)
+    zca = ZCAWhitening().fit(fit)
+    img, txt = _syn()
+    embed = np.random.RandomState(1).randn(5, 16).astype(np.float32)
+    arts = save_visualizations(str(tmp_path), 5, img, txt,
+                               [f"s{i}" for i in range(5)], embed,
+                               zca=zca, save_pt=True)
+    assert "images_zca_pt" in arts
+    recon_pt = torch.load(str(tmp_path / "images_zca_5.pt"),
+                          weights_only=True)
+    np.testing.assert_allclose(
+        np.asarray(recon_pt).transpose(0, 2, 3, 1),
+        np.asarray(zca.inverse_transform(img), np.float32),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_save_grids_gate_matches_reference(tmp_path):
     """ipc >= 50 without --force_save skips the PNG/sentence artifacts
     (distill.py:368) but still writes the distilled tensors (our fix for
