@@ -274,7 +274,8 @@ class Config:
     resume_from: str = ""
     # path to a saved distilled_{it}.npz for the eval_distilled CLI
     # (re-runs the standard synset evaluation on a persisted distilled
-    # set — impossible in the reference, which never saves the tensors)
+    # set — impossible in the reference, which never saves the tensors;
+    # accepts distilled_{it}.npz or a --save_pt images_{it}.pt pair)
     distilled_npz: str = ""
     # expert-parallel training: vmap K independent experts into one XLA
     # program (the reference trains them sequentially, buffer.py:42);
