@@ -163,8 +163,17 @@ class Config:
     # lax.scan (the scan boundary is already a CSE barrier) and lets XLA
     # fuse the recomputation with the backward pass
     remat_prevent_cse: bool = True
-    # lax.scan unroll factor for the inner-step scan (XLA scheduling knob)
-    scan_unroll: int = 1
+    # lax.scan unroll factor for the inner-step scan (XLA scheduling
+    # knob).  Default 2: measured best-or-equal at every scaled config
+    # in a same-session v5e-1 sweep (DESIGN §10 scaling table — stress
+    # nq=500/syn_steps=20: 3.50 s/step vs 3.75 at unroll=1 (+7%) and
+    # 3.61 at unroll=4; nq=1000/syn_steps=8: 1.35 s/step vs 1.37, +1.6%;
+    # the flagship quality runs all use 2) while keeping the temp
+    # footprint far from the unroll=8 OOM cliff next to resident
+    # trajectories (QUALITY.md).  The headline bench pins 8 explicitly
+    # (nq=100, syn_steps=8 fully interleaved is another +16% THERE but
+    # OOMs at larger nq/syn_steps).
+    scan_unroll: int = 2
     # meta-backward strategy through each inner SGD step:
     #   "reverse": JAX default — remat the fwd+bwd, VJP through both
     #              (reverse-over-reverse, ~9 fwd-equivalents/step)
