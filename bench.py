@@ -49,20 +49,31 @@ scaling) are swept in §10's scheduler table — all neutral, proving the
 spill DMA is fully overlapped and the step sits at its conv ceiling.
 
 Multi-chip (v5e-8) mode — ``BENCH_MESH=8 python bench.py``:
-Runs the IDENTICAL headline step sharded over an 8-device ("data",)
-mesh: inner minibatches split 100 -> 12.5/device is not integral, so the
-sharded config uses mini_batch_size=96 (12/device) with nq=96 — noted in
-the output unit.  Synthetic state, its meta-gradients, and outer
-momentum shard over the query axis (shard_syn); flat students and
-expert-segment slices replicate; XLA psums the inner param grads over
-ICI.  Expected scaling: the step is HBM-bound (DESIGN.md §10), per-chip
-conv traffic drops ~8x while the psum adds ~2 x 170 MB of ICI traffic
-per inner step (~2 ms at 186 GB/s/link, fully overlappable) -> near-
-linear, ~6.5-7.5x predicted.  On a host with fewer real chips this
-falls back to N virtual CPU devices: correctness/compile validation
-only, vs_baseline=null, and the printed value must NOT be read as TPU
-throughput (no fake perf numbers).  This is the exact command to run
-when a v5e-8 slice is attached.
+Runs the EXACT headline step (nq=100, mb=100 — non-divisible dims are
+pad-and-masked, engine/distill.py) sharded over an 8-device ("data",)
+mesh.  Synthetic state, its meta-gradients, and outer momentum shard
+over the query axis (shard_syn); flat students and expert-segment
+slices replicate; XLA psums the inner param grads over ICI.  On a host
+with fewer real chips this falls back to N virtual CPU devices:
+correctness/compile validation only, vs_baseline=null, and the printed
+value must NOT be read as TPU throughput (no fake perf numbers).  This
+is the exact command to run when a v5e-8 slice is attached.
+
+``projected_v5e8`` (single-chip TPU runs only): the v5e-8 throughput
+this measured single-chip step projects to, from the §10 per-class
+decomposition (tools/project_v5e8.py holds the full derivation and a
+sensitivity table).  Summary: the profiled 1147 ms step splits into
+~91.5% batch-scaling work (conv/elementwise/layout traffic over the
+mb=100 inner batch — scales 13/100 per chip after pad-and-mask), ~8.5%
+param-sided fixed work (conv weight reads, flat SGD/MSE loop fusions),
+plus per-step ICI all-reduces (8 inner steps x 2 x 171 MB f32 grads +
+Hessian-action terms, ring all-reduce at a conservative 100 GB/s
+per-chip effective = ~48 ms, counted FULLY EXPOSED although XLA's
+latency-hiding overlaps collectives in practice) and ~10 ms host
+dispatch.  Central estimate ~3.4 steps/s (~9.7x the A100 baseline);
+with a 2x pessimism factor on per-chip batch work (small-batch lane
+padding risk at mb=13) it is still ~2.3 steps/s — the >=3x (1.05
+steps/s) BASELINE target holds under every assumption in the table.
 """
 
 import json
@@ -146,11 +157,12 @@ def main():
     # scale down automatically on CPU so the bench is runnable anywhere
     on_tpu = jax.devices()[0].platform != "cpu"
     if mesh_n and on_tpu:
-        # real multi-chip: the headline step with the query/minibatch
-        # dims rounded to shard evenly (100 -> 96 over 8 devices)
-        nq = (100 // mesh_n) * mesh_n
-        cfg = Config(image_encoder="nfnet", image_size=224, num_queries=nq,
-                     syn_steps=8, mini_batch_size=nq, expert_epochs=1,
+        # real multi-chip: the TRUE headline config — nq=100/mb=100 do
+        # not divide an 8-mesh; the inner batch pads 100 -> 104 with
+        # masked slots and shard_syn pads the query axis (exact-math
+        # pad-and-mask, engine/distill.py; tests/test_uneven_shard.py)
+        cfg = Config(image_encoder="nfnet", image_size=224, num_queries=100,
+                     syn_steps=8, mini_batch_size=100, expert_epochs=1,
                      lr_img=1000.0, lr_txt=1000.0, lr_lr=1e-2,
                      lr_teacher_img=0.1, lr_teacher_txt=0.1, seed=0,
                      inner_dtype="bfloat16", scan_unroll=8,
@@ -301,6 +313,25 @@ def main():
         "vs_baseline": round(steps_per_sec / A100_REF_STEPS_PER_SEC, 3)
                        if on_tpu else None,
     }
+    if on_tpu and not mesh_n:
+        # v5e-8 projection from the measured single-chip step (full
+        # derivation + sensitivity table: tools/project_v5e8.py and the
+        # module docstring above).  central = best-estimate scaling;
+        # conservative = 2x per-chip batch-work penalty (small-batch
+        # lane-padding risk) — both comfortably clear the 1.05 steps/s
+        # (>=3x A100) v5e-8 target.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        try:
+            from project_v5e8 import project
+
+            result["projected_v5e8"] = round(project(steps_per_sec), 3)
+            result["projected_v5e8_conservative"] = round(
+                project(steps_per_sec, batch_penalty=2.0, ici_gbps=50.0), 3)
+            result["projected_v5e8_vs_baseline"] = round(
+                result["projected_v5e8"] / A100_REF_STEPS_PER_SEC, 2)
+        except Exception as e:  # never break the JSON contract
+            print(f"projection unavailable: {e!r}", file=sys.stderr)
     print(json.dumps(result))
 
 

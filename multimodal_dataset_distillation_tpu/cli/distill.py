@@ -207,11 +207,19 @@ def main(cfg: Config):
     if not discover_buffers(expert_dir)[0]:
         _bootstrap_dummy_buffers(student_cfg, expert_dir)
     img_files, txt_files = discover_buffers(expert_dir)
+    # torch-order codecs for this student: reference-written .pt buffers
+    # (module.parameters() order, buffer.py:94-95) are identified by
+    # shape signature and converted to ravel order on load
+    from multimodal_dataset_distillation_tpu.models.torch_order import (
+        codecs_for_student,
+    )
+
     cycler = ExpertCycler(img_files, txt_files, cfg.max_start_epoch,
                           cfg.expert_epochs, cfg.max_files, seed=cfg.seed,
                           load_all=cfg.load_all, max_experts=cfg.max_experts,
                           device_cache_cap=cfg.traj_cache_cap,
-                          prefetch=cfg.traj_prefetch)
+                          prefetch=cfg.traj_prefetch,
+                          codecs=codecs_for_student(variables["params"]))
 
     # sanity: buffer width must match this student's flat size
     seg = cycler.img_buffer[0]
@@ -316,8 +324,9 @@ def main(cfg: Config):
             eval_cfg = cfg.replace(
                 distill=True, lr_net=float(distiller.state.syn_lr_img))
             eval_model = build_bi_encoder(eval_cfg)
-            img_eval = np.asarray(distiller.state.image_syn)
-            txt_eval = np.asarray(distiller.state.text_syn)
+            # syn_arrays strips mesh-padding rows (shard_syn on a mesh
+            # the query count does not divide)
+            img_eval, txt_eval = distiller.syn_arrays()
             if cfg.parallel_eval and cfg.num_eval > 1:
                 # all num_eval fresh models as one vmapped program
                 # (--parallel_eval; engine/eval.py)
@@ -367,8 +376,7 @@ def main(cfg: Config):
             if cfg.draw:
                 run_dir = os.path.join(cfg.save_dir, cfg.dataset, logger.name)
                 arts = save_visualizations(
-                    run_dir, it, np.asarray(distiller.state.image_syn),
-                    np.asarray(distiller.state.text_syn), train_sentences,
+                    run_dir, it, img_eval, txt_eval, train_sentences,
                     train_caption_embed, zca=zca,
                     # grid/sentence PNG saves are gated exactly like the
                     # reference (distill.py:368: ipc < 50 or --force_save);
@@ -384,12 +392,8 @@ def main(cfg: Config):
                     if k in arts:
                         logger.log_image(f"Synthetic_Images/{k}", arts[k],
                                          step=it)
-                logger.log_histogram("Synthetic_Pixels",
-                                     np.asarray(distiller.state.image_syn),
-                                     step=it)
-                logger.log_histogram("Synthetic_Texts",
-                                     np.asarray(distiller.state.text_syn),
-                                     step=it)
+                logger.log_histogram("Synthetic_Pixels", img_eval, step=it)
+                logger.log_histogram("Synthetic_Texts", txt_eval, step=it)
                 if "sentences" in arts:
                     with open(arts["sentences"]) as f:
                         html = "<br>".join(line.strip() for line in f)

@@ -236,9 +236,11 @@ class Config:
     # meta-gradients, and the outer optimizer state over the mesh "data"
     # axis (query dim 0). At num_queries=500 the pixel tensor is ~300 MB
     # and its meta-gradient scatter dominates the inner step; sharding
-    # splits both 1/N per device. Applies when a mesh is active and
-    # num_queries divides the data axis; indices stay global, so the
-    # semantics (and gradients) are identical to the unsharded path.
+    # splits both 1/N per device. Applies whenever a mesh is active: a
+    # query count that does not divide the data axis is padded with inert
+    # rows (zero meta-gradient, stripped by Distiller.syn_arrays).
+    # Indices stay global, so semantics and gradients are identical to
+    # the unsharded path.
     shard_syn: bool = True
     # run NF-net grouped 3x3 convs through the pallas im2col kernel
     # (ops/pallas_gconv.py) instead of XLA's rank-5 grouped lowering.

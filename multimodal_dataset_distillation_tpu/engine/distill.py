@@ -72,13 +72,19 @@ class Distiller:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh  # jax.sharding.Mesh for data-parallel inner batches
+        # Non-divisible inner minibatches (e.g. the headline mb=100 on a
+        # v5e-8 mesh) are padded to the next multiple of the data axis
+        # and masked out of the contrastive loss — the TPU-native match
+        # for DataParallel's uneven scatter (distill.py:443-445).  The
+        # masked loss is EXACTLY the unpadded loss (pad columns get -inf
+        # logits before the softmax, pad rows zero weight), so gradients
+        # equal the single-device ones (tests/test_uneven_shard.py).
+        self._inner_mb = int(min(cfg.mini_batch_size,
+                                 np.asarray(image_syn).shape[0]))
+        self._inner_pad = 0
         if mesh is not None and "data" in mesh.axis_names:
             nd = mesh.shape["data"]
-            mb = min(cfg.mini_batch_size, cfg.num_queries)
-            if mb % nd:
-                raise ValueError(
-                    f"mini_batch_size ({mb}) must be divisible by the mesh "
-                    f"data axis ({nd}) for data-parallel inner batches")
+            self._inner_pad = (-self._inner_mb) % nd
         params = init_variables["params"]
         self.img_size, self._unravel_img = make_unravel(params["image_encoder"])
         self.txt_size, self._unravel_txt = make_unravel(params["text_projection"])
@@ -103,19 +109,35 @@ class Distiller:
         sdt = jnp.float64 if cfg.inner_dtype == "float64" else jnp.float32
         image_syn = jnp.asarray(image_syn, sdt)
         text_syn = jnp.asarray(text_syn, sdt)
+        #: logical synthetic-set size; ``state.image_syn`` may carry extra
+        #: padding rows below — use :meth:`syn_arrays` for host reads
+        self.n_queries = int(image_syn.shape[0])
+        self._syn_pad = 0
         # --shard_syn: split the synthetic tensors (and, by donation +
         # sharding propagation, their meta-gradients and momentum buffers)
         # over the mesh "data" axis.  The reference keeps the whole
         # synthetic set replicated per GPU (distill.py:300-311); at
         # num_queries=500 that is a ~300 MB pixel tensor whose per-step
         # meta-gradient scatter dominates the inner step.  Indices remain
-        # global, so gradients match the unsharded path exactly.
+        # global, so gradients match the unsharded path exactly.  A query
+        # count that does not divide the mesh (the headline nq=100 on a
+        # v5e-8) is padded with inert rows: minibatch indices only ever
+        # select [0, n_queries), so pad rows receive exactly zero
+        # meta-gradient and stay at their init forever.
         self._syn_shardings = None
         if (mesh is not None and getattr(cfg, "shard_syn", False)
-                and "data" in mesh.axis_names
-                and image_syn.shape[0] % mesh.shape["data"] == 0):
+                and "data" in mesh.axis_names):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            nd = mesh.shape["data"]
+            self._syn_pad = (-self.n_queries) % nd
+            if self._syn_pad:
+                image_syn = jnp.concatenate(
+                    [image_syn, jnp.zeros((self._syn_pad,)
+                                          + image_syn.shape[1:], sdt)])
+                text_syn = jnp.concatenate(
+                    [text_syn, jnp.zeros((self._syn_pad,)
+                                         + text_syn.shape[1:], sdt)])
             self._syn_shardings = (
                 NamedSharding(mesh, P("data", None, None, None)),
                 NamedSharding(mesh, P("data", None)))
@@ -226,6 +248,14 @@ class Distiller:
         # just a single-leaf pytree to tree_map/tree_leaves.
         carry_tree = getattr(cfg, "carry_mode", "flat") == "tree"
 
+        # non-divisible minibatch padding (see __init__): a static 0/1
+        # mask over the padded batch; pad entries replicate index 0 but
+        # contribute exactly nothing to the loss or its gradients
+        inner_pad = self._inner_pad
+        inner_mb = self._inner_mb
+        inner_mask = (jnp.concatenate([jnp.ones(inner_mb), jnp.zeros(inner_pad)])
+                      if inner_pad else None)
+
         def closs(thi, tht, x, y, lr_i, ki, kt):
             if carry_tree:
                 f = self._img_forward_tree(thi, x, ki,
@@ -244,7 +274,9 @@ class Distiller:
             logits = scale * jnp.dot(f, g.T,
                                      preferred_element_type=out_dtype,
                                      precision=jax.lax.Precision.HIGHEST)
-            return _sym_ce(logits)
+            if inner_mask is None:
+                return _sym_ce(logits)
+            return _sym_ce(logits, inner_mask.astype(out_dtype), inner_mb)
 
         # -- hvp_mode="forward": custom-VJP inner update ------------------
         # The meta-backward through  new_th = th - lr * grad(closs)  needs
@@ -461,6 +493,13 @@ class Distiller:
 
         def grand_loss(image_syn, text_syn, lr_i, lr_t,
                        img_th0, txt_th0, img_tgt, txt_tgt, idx_seq, keys):
+            if inner_pad and idx_seq.shape[1] == inner_mb:
+                # pad minibatch indices to the mesh multiple; pad slots
+                # repeat index 0 and are masked out of the loss
+                idx_seq = jnp.concatenate(
+                    [idx_seq, jnp.broadcast_to(
+                        idx_seq[:, :1], (idx_seq.shape[0], inner_pad))],
+                    axis=1)
             # tree mode: flat buffer-format vectors -> trees ONCE here
             ti0 = self._unravel_img(img_th0) if carry_tree else img_th0
             tt0 = self._unravel_txt(txt_th0) if carry_tree else txt_th0
@@ -628,11 +667,18 @@ class Distiller:
 
     def sample_indices(self, rng: np.random.RandomState) -> np.ndarray:
         """(syn_steps, mini_batch_size) minibatch indices; per step a fresh
-        randperm prefix (distill_original.py:414-416)."""
-        n = int(self.state.image_syn.shape[0])
+        randperm prefix (distill_original.py:414-416).  Indices cover the
+        LOGICAL query set only; mesh padding happens inside the step."""
+        n = self.n_queries
         m = min(self.cfg.mini_batch_size, n)
         return np.stack([rng.permutation(n)[:m]
                          for _ in range(self.cfg.syn_steps)])
+
+    def syn_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(image_syn, text_syn) host copies, mesh padding stripped — the
+        arrays eval/visualization/save must use."""
+        return (np.asarray(self.state.image_syn)[:self.n_queries],
+                np.asarray(self.state.text_syn)[:self.n_queries])
 
     def step(self, img_th0: np.ndarray, txt_th0: np.ndarray,
              img_tgt: np.ndarray, txt_tgt: np.ndarray,
@@ -675,9 +721,15 @@ class ExpertCycler:
                  max_start_epoch: int, expert_epochs: int,
                  max_files: Optional[int] = None, seed: int = 0,
                  load_all: bool = False, max_experts: Optional[int] = None,
-                 device_cache_cap: int = 4, prefetch: bool = True):
+                 device_cache_cap: int = 4, prefetch: bool = True,
+                 codecs: Tuple[Any, Any] = (None, None)):
         from multimodal_dataset_distillation_tpu.engine.buffer_io import load_buffer
 
+        # torch-order codecs (models/torch_order.py): identify + convert
+        # reference-written `.pt` snapshots (module.parameters() order,
+        # torch layouts, buffer.py:94-95) into this framework's ravel
+        # order; None = only native-order files are readable from .pt
+        self.img_codec, self.txt_codec = codecs
         self._load = load_buffer
         self.rng = np.random.RandomState(seed)
         if max_files:
@@ -695,7 +747,8 @@ class ExpertCycler:
         self.load_all = load_all
         self._all: Optional[List[Tuple[List, List]]] = None
         if load_all:
-            self._all = [(self._trim(self._load(i)), self._trim(self._load(t)))
+            self._all = [(self._trim(self._load(i, self.img_codec)),
+                          self._trim(self._load(t, self.txt_codec)))
                          for i, t in zip(self.img_files, self.txt_files)]
         # bounded cache of device trajectory copies: one NFNet-L0
         # trajectory is ~(T, 35M) f32 = GBs in HBM, so caching every
@@ -753,8 +806,10 @@ class ExpertCycler:
         if self._all is not None:
             self.img_buffer, self.txt_buffer = self._all[self.file_idx]
             return  # device copies stay cached (host arrays are stable)
-        self.img_buffer = self._trim(self._load(self.img_files[self.file_idx]))
-        self.txt_buffer = self._trim(self._load(self.txt_files[self.file_idx]))
+        self.img_buffer = self._trim(self._load(self.img_files[self.file_idx],
+                                                self.img_codec))
+        self.txt_buffer = self._trim(self._load(self.txt_files[self.file_idx],
+                                                self.txt_codec))
         # drop device copies of the previous file's trajectories
         self._device_cache.clear()
 

@@ -20,7 +20,6 @@ Flickr (1000x5000) is tiny next to the encoders.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -54,23 +53,12 @@ def _encode_image(model: VLBiEncoder, variables, x):
     return model.apply(variables, x, method="encode_image")
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test,
-              use_pallas=False):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _score_fn(model: VLBiEncoder, variables, image_embeds, txt_raw, k_test):
     txt = model.apply(variables, txt_raw.astype(jnp.float32),
                       method="project_text")
     txt = l2_normalize(txt)
     img = l2_normalize(image_embeds.astype(jnp.float32))
-    if use_pallas:
-        # fused MXU row-tile matmul + VPU threshold top-k: one HBM pass,
-        # no full unmasked sims matrix (the fork's chunked/streamed
-        # epoch_test_metrics, epoch.py:103-215, done kernel-side)
-        from multimodal_dataset_distillation_tpu.ops.pallas_kernels import (
-            topk_scores_pallas,
-        )
-
-        return (topk_scores_pallas(img, txt, k_test, FIXED_LOGIT_SCALE),
-                topk_scores_pallas(txt, img, k_test, FIXED_LOGIT_SCALE))
     sims = FIXED_LOGIT_SCALE * jnp.dot(img, txt.T,
                                        preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -99,18 +87,15 @@ def _epoch_test_scores(testloader, model: VLBiEncoder, variables,
         chunks.append(l2_normalize(feats.astype(jnp.float32)))
     image_embeds = jnp.concatenate(chunks, axis=0)
 
-    # Scoring path decision (measured on v5e-1, tools/bench_eval.py at
-    # COCO shape 5k x 25k, k=128): the XLA matmul + two-pass top-k mask
-    # runs in <1 ms — the scoring matrix is never the eval bottleneck
-    # (ranking was: 9.9 s/direction as a host argsort loop, now 40 ms on
-    # device via retrieval_eval).  The Pallas fused kernel also fails to
-    # compile at COCO scale on real TPU (its whole-txt-operand VMEM
-    # BlockSpec needs ~230 MB), so the former size-based auto-threshold
-    # enabled it exactly where it broke.  It remains available for
-    # experiments via MDD_EVAL_PALLAS=1 (small shapes only).
-    use_pallas = os.environ.get("MDD_EVAL_PALLAS") == "1"
+    # Scoring path (measured on v5e-1, tools/bench_eval.py at COCO shape
+    # 5k x 25k, k=128): the XLA matmul + two-pass top-k mask runs in
+    # <1 ms — the scoring matrix is never the eval bottleneck (ranking
+    # was: 9.9 s/direction as a host argsort loop, now 40 ms on device
+    # via retrieval_eval).  A fused Pallas scoring kernel was built,
+    # measured, and REMOVED in round 4 — it could not compile at the
+    # COCO scale it targeted (DESIGN.md §6 keeps the record).
     return _score_fn(model, variables, image_embeds,
-                     jnp.asarray(bert_test_embed), k_test, use_pallas)
+                     jnp.asarray(bert_test_embed), k_test)
 
 
 def epoch_test(testloader, model: VLBiEncoder, variables,

@@ -165,51 +165,64 @@ def _try_hf_tokenizer():
         return None
 
 
+def bert_params_from_hf_state_dict(sd, cfg: BertConfig):
+    """Map a REAL-format HF ``BertModel.state_dict()`` onto our Flax tree.
+
+    Pure renaming + Linear transposition; the key names below are the
+    published ``transformers`` BertModel naming (what
+    ``bert-base-uncased`` ships — ``networks.py:703-710`` loads it via
+    HF).  Tested against an actual ``transformers.BertModel`` instance
+    at toy size in ``tests/test_real_format_import.py`` (key source =
+    the HF library itself, not this module's inverse).
+    """
+    sd = {k: (v.detach().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    def T(name):  # dense weights: torch (out,in) -> flax (in,out)
+        return np.ascontiguousarray(sd[name].T)
+
+    params: dict = {
+        "word_embeddings": {"embedding": sd["embeddings.word_embeddings.weight"]},
+        "position_embeddings": {"embedding": sd["embeddings.position_embeddings.weight"]},
+        "token_type_embeddings": {"embedding": sd["embeddings.token_type_embeddings.weight"]},
+        "embeddings_norm": {"scale": sd["embeddings.LayerNorm.weight"],
+                            "bias": sd["embeddings.LayerNorm.bias"]},
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        params[f"layer{i}"] = {
+            "attention": {
+                "query": {"kernel": T(p + "attention.self.query.weight"),
+                          "bias": sd[p + "attention.self.query.bias"]},
+                "key": {"kernel": T(p + "attention.self.key.weight"),
+                        "bias": sd[p + "attention.self.key.bias"]},
+                "value": {"kernel": T(p + "attention.self.value.weight"),
+                          "bias": sd[p + "attention.self.value.bias"]},
+            },
+            "attention_output": {
+                "kernel": T(p + "attention.output.dense.weight"),
+                "bias": sd[p + "attention.output.dense.bias"]},
+            "attention_norm": {
+                "scale": sd[p + "attention.output.LayerNorm.weight"],
+                "bias": sd[p + "attention.output.LayerNorm.bias"]},
+            "intermediate": {"kernel": T(p + "intermediate.dense.weight"),
+                             "bias": sd[p + "intermediate.dense.bias"]},
+            "output": {"kernel": T(p + "output.dense.weight"),
+                       "bias": sd[p + "output.dense.bias"]},
+            "output_norm": {"scale": sd[p + "output.LayerNorm.weight"],
+                            "bias": sd[p + "output.LayerNorm.bias"]},
+        }
+    return {"params": params}
+
+
 def _try_hf_weights(cfg: BertConfig):
     """Import bert-base-uncased weights from a local HF torch cache."""
     try:
-        import torch
         from transformers import BertModel
 
         m = BertModel.from_pretrained("bert-base-uncased",
                                       local_files_only=True)
-        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-
-        def T(name):  # dense weights: torch (out,in) -> flax (in,out)
-            return np.ascontiguousarray(sd[name].T)
-
-        params: dict = {
-            "word_embeddings": {"embedding": sd["embeddings.word_embeddings.weight"]},
-            "position_embeddings": {"embedding": sd["embeddings.position_embeddings.weight"]},
-            "token_type_embeddings": {"embedding": sd["embeddings.token_type_embeddings.weight"]},
-            "embeddings_norm": {"scale": sd["embeddings.LayerNorm.weight"],
-                                "bias": sd["embeddings.LayerNorm.bias"]},
-        }
-        for i in range(cfg.num_layers):
-            p = f"encoder.layer.{i}."
-            params[f"layer{i}"] = {
-                "attention": {
-                    "query": {"kernel": T(p + "attention.self.query.weight"),
-                              "bias": sd[p + "attention.self.query.bias"]},
-                    "key": {"kernel": T(p + "attention.self.key.weight"),
-                            "bias": sd[p + "attention.self.key.bias"]},
-                    "value": {"kernel": T(p + "attention.self.value.weight"),
-                              "bias": sd[p + "attention.self.value.bias"]},
-                },
-                "attention_output": {
-                    "kernel": T(p + "attention.output.dense.weight"),
-                    "bias": sd[p + "attention.output.dense.bias"]},
-                "attention_norm": {
-                    "scale": sd[p + "attention.output.LayerNorm.weight"],
-                    "bias": sd[p + "attention.output.LayerNorm.bias"]},
-                "intermediate": {"kernel": T(p + "intermediate.dense.weight"),
-                                 "bias": sd[p + "intermediate.dense.bias"]},
-                "output": {"kernel": T(p + "output.dense.weight"),
-                           "bias": sd[p + "output.dense.bias"]},
-                "output_norm": {"scale": sd[p + "output.LayerNorm.weight"],
-                                "bias": sd[p + "output.LayerNorm.bias"]},
-            }
-        return {"params": params}
+        return bert_params_from_hf_state_dict(m.state_dict(), cfg)
     except Exception:
         return None
 

@@ -155,6 +155,52 @@ def _try_hf_clip_tokenizer(context_length: int):
         return None
 
 
+def clip_text_params_from_hf_state_dict(sd, cfg: ClipTextConfig):
+    """Map a REAL-format HF ``CLIPModel.state_dict()`` text branch onto
+    our Flax tree (pure renaming + Linear transposition; key names are
+    the published ``transformers`` CLIPModel naming).  Tested against an
+    actual toy ``transformers.CLIPModel`` in
+    ``tests/test_real_format_import.py``."""
+    sd = {k: (v.detach().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    def T(name):
+        return np.ascontiguousarray(sd[name].T)
+
+    params: dict = {
+        "token_embedding": {
+            "embedding": sd["text_model.embeddings.token_embedding.weight"]},
+        "positional_embedding":
+            sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final": {"scale": sd["text_model.final_layer_norm.weight"],
+                     "bias": sd["text_model.final_layer_norm.bias"]},
+        "text_projection": T("text_projection.weight"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"text_model.encoder.layers.{i}."
+        params[f"block{i}"] = {
+            "ln_1": {"scale": sd[p + "layer_norm1.weight"],
+                     "bias": sd[p + "layer_norm1.bias"]},
+            "ln_2": {"scale": sd[p + "layer_norm2.weight"],
+                     "bias": sd[p + "layer_norm2.bias"]},
+            "attn": {
+                "q_proj": {"kernel": T(p + "self_attn.q_proj.weight"),
+                           "bias": sd[p + "self_attn.q_proj.bias"]},
+                "k_proj": {"kernel": T(p + "self_attn.k_proj.weight"),
+                           "bias": sd[p + "self_attn.k_proj.bias"]},
+                "v_proj": {"kernel": T(p + "self_attn.v_proj.weight"),
+                           "bias": sd[p + "self_attn.v_proj.bias"]},
+                "out_proj": {"kernel": T(p + "self_attn.out_proj.weight"),
+                             "bias": sd[p + "self_attn.out_proj.bias"]},
+            },
+            "mlp_fc": {"kernel": T(p + "mlp.fc1.weight"),
+                       "bias": sd[p + "mlp.fc1.bias"]},
+            "mlp_proj": {"kernel": T(p + "mlp.fc2.weight"),
+                         "bias": sd[p + "mlp.fc2.bias"]},
+        }
+    return {"params": params}
+
+
 def _try_hf_clip_text_weights(cfg: ClipTextConfig):
     """Import text-tower weights from a local HF CLIP torch cache."""
     try:
@@ -162,43 +208,7 @@ def _try_hf_clip_text_weights(cfg: ClipTextConfig):
 
         m = CLIPModel.from_pretrained("openai/clip-vit-base-patch32",
                                       local_files_only=True)
-        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-
-        def T(name):
-            return np.ascontiguousarray(sd[name].T)
-
-        params: dict = {
-            "token_embedding": {
-                "embedding": sd["text_model.embeddings.token_embedding.weight"]},
-            "positional_embedding":
-                sd["text_model.embeddings.position_embedding.weight"],
-            "ln_final": {"scale": sd["text_model.final_layer_norm.weight"],
-                         "bias": sd["text_model.final_layer_norm.bias"]},
-            "text_projection": T("text_projection.weight"),
-        }
-        for i in range(cfg.num_layers):
-            p = f"text_model.encoder.layers.{i}."
-            params[f"block{i}"] = {
-                "ln_1": {"scale": sd[p + "layer_norm1.weight"],
-                         "bias": sd[p + "layer_norm1.bias"]},
-                "ln_2": {"scale": sd[p + "layer_norm2.weight"],
-                         "bias": sd[p + "layer_norm2.bias"]},
-                "attn": {
-                    "q_proj": {"kernel": T(p + "self_attn.q_proj.weight"),
-                               "bias": sd[p + "self_attn.q_proj.bias"]},
-                    "k_proj": {"kernel": T(p + "self_attn.k_proj.weight"),
-                               "bias": sd[p + "self_attn.k_proj.bias"]},
-                    "v_proj": {"kernel": T(p + "self_attn.v_proj.weight"),
-                               "bias": sd[p + "self_attn.v_proj.bias"]},
-                    "out_proj": {"kernel": T(p + "self_attn.out_proj.weight"),
-                                 "bias": sd[p + "self_attn.out_proj.bias"]},
-                },
-                "mlp_fc": {"kernel": T(p + "mlp.fc1.weight"),
-                           "bias": sd[p + "mlp.fc1.bias"]},
-                "mlp_proj": {"kernel": T(p + "mlp.fc2.weight"),
-                             "bias": sd[p + "mlp.fc2.bias"]},
-            }
-        return {"params": params}
+        return clip_text_params_from_hf_state_dict(m.state_dict(), cfg)
     except Exception:
         return None
 

@@ -171,6 +171,48 @@ def nfnet_params_to_timm(params: Mapping[str, Any],
     return sd
 
 
+def vit_params_from_timm(sd: Mapping[str, Any],
+                         depth: int = 12) -> Dict[str, Any]:
+    """Map a timm VisionTransformer state dict (``vit_tiny_patch16_224``,
+    ``networks.py:668``) onto our Flax tree (:mod:`~.vit`).
+
+    timm naming: ``cls_token``/``pos_embed``, ``patch_embed.proj.*``,
+    ``blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}``,
+    ``norm``, ``head``.  The qkv output dim splits (3, heads, head_dim)
+    in both frameworks, so a plain Linear transpose is layout-exact.
+    Real-format parity test: tests/test_real_format_import.py (torch
+    mirror forward vs imported Flax forward).
+    """
+    def lin(prefix):
+        return {"kernel": np.ascontiguousarray(_np(sd[prefix + ".weight"]).T),
+                "bias": _np(sd[prefix + ".bias"]).reshape(-1)}
+
+    params: Dict[str, Any] = {
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "patch_embed": {
+            "kernel": np.transpose(_np(sd["patch_embed.proj.weight"]),
+                                   (2, 3, 1, 0)),
+            "bias": _np(sd["patch_embed.proj.bias"]).reshape(-1)},
+        "norm": {"scale": _np(sd["norm.weight"]).reshape(-1),
+                 "bias": _np(sd["norm.bias"]).reshape(-1)},
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        params[f"block{i}"] = {
+            "norm1": {"scale": _np(sd[p + "norm1.weight"]).reshape(-1),
+                      "bias": _np(sd[p + "norm1.bias"]).reshape(-1)},
+            "norm2": {"scale": _np(sd[p + "norm2.weight"]).reshape(-1),
+                      "bias": _np(sd[p + "norm2.bias"]).reshape(-1)},
+            "attn": {"qkv": lin(p + "attn.qkv"),
+                     "proj": lin(p + "attn.proj")},
+            "mlp": {"fc1": lin(p + "mlp.fc1"), "fc2": lin(p + "mlp.fc2")},
+        }
+    if "head.weight" in sd:
+        params["head"] = lin("head")
+    return params
+
+
 def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
                              arch: str = "nfnet") -> Dict[str, Any]:
     """Return a copy of bi-encoder ``variables`` with the image tower
@@ -187,8 +229,13 @@ def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
         "nf_regnet": dict(depths=(2, 4, 7, 7), stem_convs=1,
                           extra_conv=False, has_se=True, has_skipinit=False,
                           has_final_conv=True, num_classes=1000),
-    }[arch]
-    mapped = nfnet_params_from_timm(sd, **arch_kw)
+    }
+    if arch in ("vit", "vit_tiny"):
+        depth = 1 + max((int(k.split(".")[1]) for k in sd
+                         if k.startswith("blocks.")), default=-1)
+        mapped = vit_params_from_timm(sd, depth=depth)
+    else:
+        mapped = nfnet_params_from_timm(sd, **arch_kw[arch])
 
     new_vars = copy.deepcopy(
         {k: v for k, v in variables.items()})
@@ -222,6 +269,10 @@ _TIMM_CKPT_NAMES = {
     "nfnet": ("nfnet_l0_ra2-45c6688d.pth",),
     "nf_resnet50": ("nf_resnet50_ra2-9f236009.pth",),
     "nf_regnet": ("nf_regnet_b1_256_ra2-ad85cfef.pth",),
+    # vit_tiny ships via augreg npz/HF in recent timm; no stable hub
+    # filename to scan for — point $MDD_TIMM_CKPT_VIT at a torch-format
+    # state dict instead (vit_params_from_timm consumes timm naming)
+    "vit": (),
 }
 
 

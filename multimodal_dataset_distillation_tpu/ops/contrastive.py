@@ -41,14 +41,42 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarra
     return x / norm
 
 
-def _symmetric_ce(logits: jnp.ndarray) -> jnp.ndarray:
-    """(CE(logits, diag) + CE(logits.T, diag)) / 2 with diagonal targets."""
+def _symmetric_ce(logits: jnp.ndarray,
+                  mask: "jnp.ndarray | None" = None,
+                  n_valid: "int | None" = None) -> jnp.ndarray:
+    """(CE(logits, diag) + CE(logits.T, diag)) / 2 with diagonal targets.
+
+    ``mask`` (0/1 per batch row, padding at the tail) makes the loss over
+    a PADDED batch exactly equal the unpadded loss: pad columns are
+    excluded from each softmax (driven to a large negative so their
+    probability underflows to exactly 0) and pad rows carry zero weight.
+    ``n_valid`` is the static count of real rows (the mean denominator).
+    Used for non-divisible minibatches on a device mesh — the TPU
+    counterpart of DataParallel's uneven scatter (distill.py:443-445).
+    """
     n = logits.shape[0]
     labels = jnp.arange(n)
-    log_p_i2t = jax.nn.log_softmax(logits, axis=1)
-    log_p_t2i = jax.nn.log_softmax(logits, axis=0)
-    loss_i2t = -jnp.mean(jnp.take_along_axis(log_p_i2t, labels[:, None], axis=1))
-    loss_t2i = -jnp.mean(jnp.take_along_axis(log_p_t2i, labels[None, :], axis=0))
+    if mask is None:
+        log_p_i2t = jax.nn.log_softmax(logits, axis=1)
+        log_p_t2i = jax.nn.log_softmax(logits, axis=0)
+        loss_i2t = -jnp.mean(
+            jnp.take_along_axis(log_p_i2t, labels[:, None], axis=1))
+        loss_t2i = -jnp.mean(
+            jnp.take_along_axis(log_p_t2i, labels[None, :], axis=0))
+        return (loss_i2t + loss_t2i) / 2.0
+    # finite large-negative (not -inf: keeps log_softmax grads NaN-free);
+    # after max-subtraction exp() underflows to exactly 0 for pad entries
+    big_neg = jnp.asarray(jnp.finfo(logits.dtype).max, logits.dtype) * -0.5
+    m = mask.astype(logits.dtype)
+    log_p_i2t = jax.nn.log_softmax(
+        jnp.where(m[None, :] > 0, logits, big_neg), axis=1)
+    log_p_t2i = jax.nn.log_softmax(
+        jnp.where(m[:, None] > 0, logits, big_neg), axis=0)
+    diag_i2t = jnp.take_along_axis(log_p_i2t, labels[:, None], axis=1)[:, 0]
+    diag_t2i = jnp.take_along_axis(log_p_t2i, labels[None, :], axis=0)[0, :]
+    nv = float(n_valid) if n_valid is not None else jnp.sum(m)
+    loss_i2t = -jnp.sum(diag_i2t * m) / nv
+    loss_t2i = -jnp.sum(diag_t2i * m) / nv
     return (loss_i2t + loss_t2i) / 2.0
 
 

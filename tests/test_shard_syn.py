@@ -12,7 +12,6 @@ replicated synthetic set.
 
 import jax
 import numpy as np
-from jax.sharding import PartitionSpec as P
 
 from multimodal_dataset_distillation_tpu.config import Config
 from multimodal_dataset_distillation_tpu.engine.distill import Distiller
@@ -103,8 +102,10 @@ def test_shard_syn_meta_gradient_parity():
     np.testing.assert_allclose(gt_r, gt_s, rtol=1e-3, atol=1e-6)
 
 
-def test_shard_syn_skipped_when_indivisible():
-    """nq not divisible by the data axis -> graceful unsharded fallback."""
+def test_shard_syn_pads_when_indivisible():
+    """nq not divisible by the data axis -> padded with inert rows and
+    sharded anyway (round 4; the pre-r4 behavior silently skipped
+    sharding).  Deeper parity coverage: tests/test_uneven_shard.py."""
     mesh = get_mesh((8,), ("data",))
     cfg = Config(image_encoder="convnet_tiny", image_size=16,
                  num_queries=12, syn_steps=2, mini_batch_size=8,
@@ -113,9 +114,17 @@ def test_shard_syn_skipped_when_indivisible():
                         text_embedding=768, image_embedding=64)
     variables = init_bi_encoder(model, cfg)
     rng = np.random.RandomState(0)
-    d = Distiller(cfg, model, variables,
-                  rng.randn(12, 16, 16, 3).astype(np.float32),
-                  rng.randn(12, 768).astype(np.float32), mesh=mesh)
-    assert d._syn_shardings is None
-    spec = getattr(d.state.image_syn.sharding, "spec", P())
-    assert all(s is None for s in tuple(spec)) or tuple(spec) == ()
+    img = rng.randn(12, 16, 16, 3).astype(np.float32)
+    txt = rng.randn(12, 768).astype(np.float32)
+    d = Distiller(cfg, model, variables, img, txt, mesh=mesh)
+    assert d._syn_shardings is not None
+    assert d.n_queries == 12 and d._syn_pad == 4
+    assert d.state.image_syn.shape[0] == 16
+    assert tuple(d.state.image_syn.sharding.spec)[:1] == ("data",)
+    # logical view strips the padding and preserves the data
+    a, b = d.syn_arrays()
+    np.testing.assert_array_equal(a, img)
+    np.testing.assert_array_equal(b, txt)
+    # indices never reach the pad rows
+    idx = d.sample_indices(np.random.RandomState(1))
+    assert idx.max() < 12

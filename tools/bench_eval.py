@@ -5,9 +5,9 @@ Measures, at the COCO eval shape (5,000 images x 25,010 texts,
 k_test=128; reference ``epoch_original.py:94-105`` / the fork's rewrite
 ``epoch.py:103-215``):
 
-  1. scoring: XLA two-pass top-k mask vs the Pallas fused kernel
-     (`ops/pallas_kernels.py`), both directions — decides the
-     ``use_pallas`` threshold in engine/eval.py.
+  1. scoring: the XLA matmul + two-pass top-k mask, both directions
+     (this measurement retired the Pallas fused scoring kernel —
+     DESIGN.md §6).
   2. ranking: the reference's per-row Python argsort loop vs the
      vectorized numpy broadcast formula vs the on-device rank kernel
      (with and without the host score-matrix pull each needs).
@@ -71,9 +71,6 @@ def main():
     from multimodal_dataset_distillation_tpu.ops.contrastive import (
         FIXED_LOGIT_SCALE,
     )
-    from multimodal_dataset_distillation_tpu.ops.pallas_kernels import (
-        topk_scores_pallas,
-    )
 
     rng = np.random.RandomState(0)
     img = rng.randn(N_IMG, DIM).astype(np.float32)
@@ -96,18 +93,10 @@ def main():
     print(json.dumps({"op": "score_t2i_xla", "ms": round(dt * 1e3, 1)}),
           flush=True)
 
-    try:
-        dt, i2t_p = timeit(lambda: jax.block_until_ready(
-            topk_scores_pallas(jimg, jtxt, K, float(FIXED_LOGIT_SCALE))))
-        print(json.dumps({"op": "score_i2t_pallas", "ms": round(dt * 1e3, 1)}),
-              flush=True)
-        dt, _ = timeit(lambda: jax.block_until_ready(
-            topk_scores_pallas(jtxt, jimg, K, float(FIXED_LOGIT_SCALE))))
-        print(json.dumps({"op": "score_t2i_pallas", "ms": round(dt * 1e3, 1)}),
-              flush=True)
-    except Exception as e:  # record instead of dying on kernel issues
-        print(json.dumps({"op": "score_pallas", "error": repr(e)[:200]}),
-              flush=True)
+    # (The Pallas fused scoring kernel this tool once A/B'd was removed
+    # in round 4 — it could not compile at the COCO scale it targeted
+    # while the XLA path above runs in <1 ms; DESIGN.md §6 keeps the
+    # measurement record.)
 
     # ---- 2. ranking (t2i direction: 25k rows, the expensive one) ----
     targets = rng.randint(0, N_IMG, size=N_TXT)
