@@ -548,6 +548,13 @@ class Distiller:
             torch ReparamModule loop (distill_original.py:413-437)."""
             from jax.flatten_util import ravel_pytree
 
+            if inner_pad and idx_seq.shape[1] == inner_mb:
+                # same pad-and-mask as grand_loss: closs' mask width is
+                # the padded minibatch
+                idx_seq = jnp.concatenate(
+                    [idx_seq, jnp.broadcast_to(
+                        idx_seq[:, :1], (idx_seq.shape[0], inner_pad))],
+                    axis=1)
             f = functools.partial(inner_step, lr_i, lr_t, image_syn, text_syn)
 
             def collect(carry, inp):

@@ -39,3 +39,62 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True)
 def _seed_numpy():
     np.random.seed(0)
+
+
+# ---------------------------------------------------------------------------
+# two-tier suite: `pytest -m "not slow"` is the quick iteration tier.
+# Centralized duration-derived list (from a full-suite --durations run on
+# the 1-core CI host; contended times ÷4 ≈ true cost) instead of
+# per-file decorators; tests may also self-mark with @pytest.mark.slow.
+# Node-id PREFIX match so parametrized variants are covered.
+# ---------------------------------------------------------------------------
+
+_SLOW_PREFIXES = (
+    "test_fused_jvp.py::test_distill_meta_grad_parity_nf_tiny",
+    "test_fused_jvp.py::test_fused_jvp_gspmd_sharded_step",
+    "test_reference_parity.py::test_reference_step_parity_nfnet",
+    "test_s2d_stem.py::test_s2d_stem_gspmd_sharded_step",
+    "test_s2d_stem.py::test_distill_step_with_s2d_stem",
+    "test_s2d_stem.py::test_other_stem_model_parity",
+    "test_pallas_gconv.py::test_distill_step_with_primitive_enabled",
+    "test_launch_fixture.py::",
+    "test_shard_syn.py::test_shard_syn_meta_gradient_parity",
+    "test_shard_syn.py::test_shard_syn_step_matches_unsharded",
+    "test_distill.py::test_hvp_forward_matches_reverse",
+    "test_distill.py::test_meta_gradient_finite_difference",
+    "test_distill.py::test_hvp_forward_finite_difference",
+    "test_distill.py::test_carry_tree_matches_flat",
+    "test_distill.py::test_fr_bwd_for_matches_rof",
+    "test_distill.py::test_remat_group_matches_plain",
+    "test_distill.py::test_remat_matches_no_remat",
+    "test_distill.py::test_bfloat16_inner_mode_runs_and_tracks_f32",
+    "test_distill.py::test_single_modality_distillation",
+    "test_import_torch.py::test_nfnet_l0_roundtrip",
+    "test_import_torch.py::test_load_image_tower_weights_replaces_backbone",
+    "test_end_to_end.py::test_full_pipeline",
+    "test_end_to_end.py::test_generic_timm_ckpt_env_ignored",
+    "test_end_to_end.py::test_nan_bailout_stops_loop",
+    "test_real_annotations.py::",
+    "test_multiprocess.py::",
+    "test_transfer_eval.py::test_eval_distilled_cross_tower",
+    "test_real_format_import.py::test_nf_family_import",
+    "test_real_format_import.py::test_bert_import_from_real_hf_model",
+    "test_models.py::test_nfnet_l0_stateless_and_shape",
+    "test_models.py::test_convnext_tower",
+    "test_models.py::test_modified_resnet_attnpool",
+    "test_parallel_eval.py::test_parallel_eval_under_mesh",
+    "test_parallel_experts.py::test_parallel_matches_sequential",
+    "test_randaugment_device.py::test_device_augment_trainer_path",
+    "test_sharding.py::test_graft_entry_single",
+    "test_sharding.py::test_bi_encoder_trainer_mesh_parity",
+    "test_torch_order.py::test_nfnet_reference_buffer_loads_bit_exact",
+    "test_nfnet_torch_mirror.py::",
+    "test_checkpoint.py::test_distill_checkpoint_roundtrip",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.split("/")[-1]  # strip tests/ prefix
+        if any(nid.startswith(p) for p in _SLOW_PREFIXES):
+            item.add_marker(pytest.mark.slow)
