@@ -186,12 +186,13 @@ def main(cfg: Config):
         maybe_init_distributed()
         mesh = get_mesh(cfg.mesh_shape, cfg.mesh_axes)
         mb = min(cfg.mini_batch_size, cfg.num_queries)
-        if not cfg.mesh_shape and mb % mesh.shape.get("data", 1):
-            # auto-mesh only when the minibatch shards evenly; an explicit
-            # --mesh_shape still errors loudly in the Distiller
-            print(f"Note: mini_batch_size {mb} not divisible by "
-                  f"{mesh.shape.get('data', 1)} devices; running unsharded")
-            mesh = None
+        nd = mesh.shape.get("data", 1)
+        if mb % nd:
+            # non-divisible counts pad-and-mask inside the Distiller
+            # (exact math — the headline nq=100/mb=100 on a v5e-8 runs
+            # sharded; DataParallel's uneven scatter, distill.py:443-445)
+            print(f"Device mesh: {dict(mesh.shape)} (mini_batch {mb} -> "
+                  f"{mb + (-mb) % nd} pad-and-mask)")
         else:
             print(f"Device mesh: {dict(mesh.shape)}")
     distiller = Distiller(student_cfg, model, variables, image_syn, text_syn,
