@@ -320,10 +320,18 @@ def main():
         # conservative = 2x per-chip batch-work penalty (small-batch
         # lane-padding risk) — both comfortably clear the 1.05 steps/s
         # (>=3x A100) v5e-8 target.
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
         try:
-            from project_v5e8 import project
+            # importlib with an explicit file path (not a sys.path
+            # insert, which would leak path state / shadow any future
+            # project_v5e8 module — ADVICE r4)
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "_bench_project_v5e8", os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "tools", "project_v5e8.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            project = mod.project
 
             result["projected_v5e8"] = round(project(steps_per_sec), 3)
             result["projected_v5e8_conservative"] = round(

@@ -85,7 +85,10 @@ def save_trajectories_pt(path: str, trajectories: Sequence[Sequence[Any]],
                      for t in codec.torch_from_flat(flatten_snapshot(snap))]
                     for snap in traj] for traj in trajectories]
     else:
-        payload = [[[torch.from_numpy(np.ascontiguousarray(x))
+        # np.array, not ascontiguousarray: the latter promotes 0-d
+        # leaves (e.g. skipinit_gain) to (1,), corrupting the shape
+        # signature identify() checks on read (ADVICE r4)
+        payload = [[[torch.from_numpy(np.array(x, copy=True))
                      for x in _leaves(snap)] for snap in traj]
                    for traj in trajectories]
     torch.save(payload, path)

@@ -139,7 +139,9 @@ class TorchOrderCodec:
         flat = np.empty(self.total_size, np.float32)
         for e, t in zip(self.entries, tensors):
             t = np.asarray(t)
-            if tuple(t.shape) != e.torch_shape:
+            # 0-d-normalized comparison, matching identify() (legacy
+            # native files promoted scalars to (1,))
+            if (tuple(t.shape) or (1,)) != (e.torch_shape or (1,)):
                 raise ValueError(
                     f"tensor for {'/'.join(e.path)} has shape {t.shape}, "
                     f"expected torch shape {e.torch_shape}")
@@ -164,12 +166,24 @@ class TorchOrderCodec:
         """Which order a snapshot's shape signature matches.
 
         -> ``"torch"`` | ``"native"`` | ``None`` (neither).  Torch order
-        wins if both signatures coincide (no supported tower does).
+        wins if both signatures coincide (no supported tower does;
+        tests/test_torch_order.py asserts disjointness per family).
+
+        Shapes are compared 0-d-normalized (``() == (1,)``): pre-round-4
+        native ``.pt`` files were written through ``ascontiguousarray``,
+        which promotes 0-d leaves like ``skipinit_gain`` to ``(1,)`` —
+        without normalization those files (which this framework itself
+        wrote) would identify as neither order and refuse to load.
+        Normalization cannot introduce cross-signature ambiguity: it only
+        merges scalar spellings of the same one-element tensor.
         """
-        shapes = [tuple(s) for s in shapes]
-        if shapes == self.torch_shapes:
+        def norm(sig):
+            return [tuple(s) if s else (1,) for s in sig]
+
+        shapes = norm(shapes)
+        if shapes == norm(self.torch_shapes):
             return "torch"
-        if shapes == self.flax_shapes:
+        if shapes == norm(self.flax_shapes):
             return "native"
         return None
 

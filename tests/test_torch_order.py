@@ -436,3 +436,43 @@ def test_distill_step_from_reference_buffer_matches_control(tmp_path):
     assert float(m1["grand_loss"]) == float(m2["grand_loss"])
     np.testing.assert_array_equal(np.asarray(d1.state.image_syn),
                                   np.asarray(d2.state.image_syn))
+
+
+# ---------------------------------------------------------------------------
+# legacy 0-d promotion (ADVICE r4): pre-round-4 native .pt files stored
+# 0-d leaves like skipinit_gain as (1,) via ascontiguousarray — identify()
+# must still match them, and fresh no-codec writes must keep true shapes
+# ---------------------------------------------------------------------------
+
+def test_legacy_0d_promoted_native_pt_loads(tmp_path):
+    _, _, variables = _nf_setup()
+    img_template = variables["params"]["image_encoder"]
+    codec = codec_for_image_tower(img_template)
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(img_template)]
+    assert any(x.ndim == 0 for x in leaves), "fixture must cover 0-d leaves"
+    # simulate the legacy writer: ascontiguousarray promotes 0-d -> (1,)
+    legacy_snap = [torch.from_numpy(np.ascontiguousarray(x)) for x in leaves]
+    assert any(tuple(t.shape) == (1,) for t in legacy_snap)
+    path = os.path.join(tmp_path, "img_replay_buffer_0.pt")
+    torch.save([[legacy_snap]], path)
+    loaded = load_buffer(path, codec)
+    control = flatten_snapshot(img_template)
+    np.testing.assert_array_equal(loaded[0][0], control)
+
+
+def test_no_codec_write_preserves_0d_shapes(tmp_path):
+    from multimodal_dataset_distillation_tpu.engine.buffer_io import (
+        save_trajectories_pt,
+    )
+
+    _, _, variables = _nf_setup()
+    img_template = variables["params"]["image_encoder"]
+    path = os.path.join(tmp_path, "img_replay_buffer_0.pt")
+    save_trajectories_pt(path, [[img_template]], codec=None)
+    payload = torch.load(path, weights_only=False)
+    stored_shapes = [tuple(t.shape) for t in payload[0][0]]
+    leaf_shapes = [tuple(np.shape(x))
+                   for x in jax.tree_util.tree_leaves(img_template)]
+    assert stored_shapes == leaf_shapes  # 0-d stays 0-d
+    codec = codec_for_image_tower(img_template)
+    assert codec.identify(stored_shapes) == "native"
