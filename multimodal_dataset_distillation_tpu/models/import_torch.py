@@ -103,10 +103,13 @@ def nfnet_params_from_timm(sd: Mapping[str, Any],
             if p + ".downsample.conv.weight" in sd:
                 blk["downsample_conv"] = _conv(sd, p + ".downsample.conv")
             if has_se:
-                for attn_name in ("attn_last", "attn"):
-                    if f"{p}.{attn_name}.fc1.weight" in sd:
-                        blk["se"] = _se(sd, f"{p}.{attn_name}")
-                        break
+                # timm `attn_last` (after conv3, NFNet blocks) -> se;
+                # timm `attn` (mid-block on the expanded width, reg
+                # models like nf_regnet_b1) -> se_mid
+                if f"{p}.attn_last.fc1.weight" in sd:
+                    blk["se"] = _se(sd, f"{p}.attn_last")
+                if f"{p}.attn.fc1.weight" in sd:
+                    blk["se_mid"] = _se(sd, f"{p}.attn")
             if has_skipinit and p + ".skipinit_gain" in sd:
                 blk["skipinit_gain"] = _np(sd[p + ".skipinit_gain"]).reshape(())
             params[f"stage{si}_block{bi}"] = blk
@@ -153,12 +156,14 @@ def nfnet_params_to_timm(params: Mapping[str, Any],
                     put_conv(f"{p}.{cname}", blk[cname])
             if "downsample_conv" in blk:
                 put_conv(f"{p}.downsample.conv", blk["downsample_conv"])
-            if "se" in blk:
-                for f in ("fc1", "fc2"):
-                    w = np.asarray(blk["se"][f]["kernel"]).T
-                    sd[f"{p}.attn_last.{f}.weight"] = w[:, :, None, None]
-                    sd[f"{p}.attn_last.{f}.bias"] = np.asarray(
-                        blk["se"][f]["bias"])
+            for our_name, timm_name in (("se", "attn_last"),
+                                        ("se_mid", "attn")):
+                if our_name in blk:
+                    for f in ("fc1", "fc2"):
+                        w = np.asarray(blk[our_name][f]["kernel"]).T
+                        sd[f"{p}.{timm_name}.{f}.weight"] = w[:, :, None, None]
+                        sd[f"{p}.{timm_name}.{f}.bias"] = np.asarray(
+                            blk[our_name][f]["bias"])
             if "skipinit_gain" in blk:
                 sd[f"{p}.skipinit_gain"] = np.asarray(
                     blk["skipinit_gain"]).reshape(())

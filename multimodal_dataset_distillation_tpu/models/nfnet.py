@@ -43,6 +43,19 @@ from multimodal_dataset_distillation_tpu.models.layers import (
 from multimodal_dataset_distillation_tpu.ops import s2d
 
 
+def make_divisible(v: float, divisor: int = 8,
+                   round_limit: float = 0.9) -> int:
+    """timm's channel rounding (timm.models.layers.make_divisible): round
+    to the nearest multiple of ``divisor``, bumping up when that would
+    fall below ``round_limit * v``.  Used everywhere timm derives widths,
+    so faithful ports must use it too (plain ``round`` diverges, e.g.
+    nf_regnet_b1 stage-3 first-block mid 180 -> timm 184 vs round 176)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < round_limit * v:
+        new_v += divisor
+    return new_v
+
+
 @dataclasses.dataclass(frozen=True)
 class NfConfig:
     depths: Tuple[int, ...]
@@ -61,6 +74,14 @@ class NfConfig:
     drop_path_rate: float = 0.0
     num_classes: int = 0                  # 0 = feature extractor (pooled)
     drop_rate: float = 0.0
+    # timm NfCfg "reg" (EfficientNet-style RegNet) semantics: mid width
+    # derives from the block INPUT (x bottle_ratio, first block of each
+    # stage only — later blocks use ratio 1.0), and SE sits MID-BLOCK on
+    # the expanded width (timm's ``attn``) instead of after conv3
+    # (``attn_last``)
+    reg: bool = False
+    width_factor: float = 1.0             # timm NfCfg.width_factor
+    ch_div: int = 8                       # timm NfCfg.ch_div
 
 
 # Flagship: timm `nfnet_l0` — depths (1,2,6,3), channels (256,512,1536,1536),
@@ -84,14 +105,19 @@ NF_RESNET50 = NfConfig(
     skipinit=False, num_classes=1000,
 )
 
-# timm `nf_regnet_b1` — EfficientNet-style inverted bottleneck RegNet,
-# grouped 3x3 (group 8), SE rd 0.5, SiLU, final conv 960, 1000-class head
-# (networks.py:672 keeps the classifier).
+# timm `nf_regnet_b1` — EfficientNet-style inverted bottleneck RegNet
+# (timm `_nfreg_cfg(depths=(2,4,7,7))`): nominal channels (48,104,208,440)
+# x width_factor 0.75 -> effective (40,80,160,328); 3x3/s2 stem 40->32
+# (so stage 0 strides, stem_stride being 2); first block of each stage
+# expands from the INPUT width x2.25, later blocks x1.0; SE (rd 0.5 of
+# the expanded width) applied MID-block; final 1x1 conv
+# make_divisible(0.75*1280)=960; 1000-class head (networks.py:672 keeps
+# the classifier).
 NF_REGNET_B1 = NfConfig(
     depths=(2, 4, 7, 7), channels=(48, 104, 208, 440),
     stem_type="3x3", stem_chs=40, group_size=8, bottle_ratio=2.25,
     extra_conv=False, num_features=960, act="silu", attn_rd_ratio=0.5,
-    skipinit=False, num_classes=1000,
+    skipinit=False, num_classes=1000, reg=True, width_factor=0.75,
 )
 
 
@@ -109,14 +135,16 @@ class NfBlock(nn.Module):
         act = gamma_act(cfg.act)
         gamma = 1.0  # WS gamma folded via gamma_act on the activations
 
-        if cfg.bottle_ratio >= 1.0:
-            # inverted bottleneck (NF-RegNet): expand from *input* width
-            mid = int(round(x.shape[-1] * cfg.bottle_ratio))
-        else:
-            mid = int(round(self.out_chs * cfg.bottle_ratio))
+        # timm NormFreeBlock: reg models derive mid from the block INPUT
+        # width (x2.25 inverted bottleneck, EVERY block — validated by
+        # reproducing timm nf_regnet_b1's 10.22M param count exactly),
+        # others from the output; both via make_divisible
+        ref_chs = int(x.shape[-1]) if cfg.reg else self.out_chs
+        mid = make_divisible(ref_chs * cfg.bottle_ratio, cfg.ch_div)
         if cfg.group_size:
             groups = max(1, mid // cfg.group_size)
-            mid = groups * cfg.group_size
+            if cfg.group_size % cfg.ch_div == 0:
+                mid = groups * cfg.group_size
         else:
             groups = 1
 
@@ -137,9 +165,16 @@ class NfBlock(nn.Module):
             out = act(out)
             out = WSConv(mid, (3, 3), feature_group_count=groups,
                          name="conv2b")(out)
+        if cfg.reg and cfg.attn_rd_ratio > 0:
+            # timm ``attn``: SE mid-block on the expanded width (reg
+            # models), registered between conv2(b) and conv3 — named
+            # se_mid so codecs/importers can tell the position apart
+            out = cfg.attn_gain * SqueezeExcite(
+                mid, rd_ratio=cfg.attn_rd_ratio, name="se_mid")(out)
         out = act(out)
         out = WSConv(self.out_chs, (1, 1), name="conv3")(out)
-        if cfg.attn_rd_ratio > 0:
+        if not cfg.reg and cfg.attn_rd_ratio > 0:
+            # timm ``attn_last``: SE after conv3 (NFNet-style blocks)
             out = cfg.attn_gain * SqueezeExcite(
                 self.out_chs, rd_ratio=cfg.attn_rd_ratio, name="se")(out)
         out = DropPath(self.drop_path, name="drop_path")(
@@ -160,10 +195,11 @@ class NormFreeNet(nn.Module):
                  features_only: bool = False) -> jnp.ndarray:
         cfg = self.cfg
         act = gamma_act(cfg.act)
+        stem_chs = make_divisible(cfg.stem_chs * cfg.width_factor, cfg.ch_div)
 
         # ---- stem ----
         if cfg.stem_type == "deep_quad":
-            c = cfg.stem_chs
+            c = stem_chs
             if s2d.enabled() and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
                 # space-to-depth stem (ops/s2d.py): exact-math layout
                 # rewrite — all four convs run on the H/4 block grid with
@@ -199,20 +235,20 @@ class NormFreeNet(nn.Module):
                 # here (the max_pool after it already sees 64 channels),
                 # so run it s2d(2)-in -> native-layout out at H/2
                 x = s2d.space_to_depth(x, 2)
-                x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2), s2d_in=2,
+                x = WSConv(stem_chs, (7, 7), strides=(2, 2), s2d_in=2,
                            s2d_out=1, name="stem_conv")(x)
             else:
-                x = WSConv(cfg.stem_chs, (7, 7), strides=(2, 2),
+                x = WSConv(stem_chs, (7, 7), strides=(2, 2),
                            name="stem_conv")(x)
             x = act(x)
             x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
         elif cfg.stem_type == "3x3":
             if s2d.enabled() and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 x = s2d.space_to_depth(x, 2)
-                x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2), s2d_in=2,
+                x = WSConv(stem_chs, (3, 3), strides=(2, 2), s2d_in=2,
                            s2d_out=1, name="stem_conv")(x)
             else:
-                x = WSConv(cfg.stem_chs, (3, 3), strides=(2, 2),
+                x = WSConv(stem_chs, (3, 3), strides=(2, 2),
                            name="stem_conv")(x)
         else:
             raise ValueError(cfg.stem_type)
@@ -223,11 +259,15 @@ class NormFreeNet(nn.Module):
         x = checkpoint_name(x, "nf_stem_out")
 
         # ---- stages ----
+        # 3x3 stems downsample only 2x, so stage 0 strides too (timm:
+        # ``stride = 1 if stage_idx == 0 and stem_stride > 2 else 2``)
+        stem_stride = 2 if cfg.stem_type == "3x3" else 4
         total_blocks = sum(cfg.depths)
         block_idx = 0
         expected_std = 1.0
-        for si, (depth, out_chs) in enumerate(zip(cfg.depths, cfg.channels)):
-            stride = 1 if si == 0 else 2
+        for si, (depth, chs) in enumerate(zip(cfg.depths, cfg.channels)):
+            out_chs = make_divisible(chs * cfg.width_factor, cfg.ch_div)
+            stride = 1 if si == 0 and stem_stride > 2 else 2
             for bi in range(depth):
                 beta = 1.0 / expected_std
                 transition = bi == 0

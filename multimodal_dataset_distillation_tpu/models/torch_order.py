@@ -32,12 +32,23 @@ Registration-order provenance (why the entry order below is correct):
   ``conv1..conv3``, SE (``attn_last``) after ``conv3``; each
   ``ScaledStdConv2d`` registers ``weight``, ``bias``, then ``gain``;
   then ``final_conv`` and (when ``num_classes>0``) ``head.fc``.
-  Caveat: timm's ``nf_regnet_b1``
-  places SE mid-block on the expanded width; this framework's
-  ``NF_REGNET_B1`` applies SE after ``conv3`` (``models/nfnet.py``), and
-  the codec follows *this framework's* structure — cross-loading real
-  timm regnet trajectories would fail loudly on the shape signature, not
-  silently.
+  Reg-style models (timm ``nf_regnet_b1``) register SE MID-block on the
+  expanded width (timm ``attn``, between ``conv2`` and ``conv3``) —
+  surfaced in our tree as ``se_mid`` (``models/nfnet.py::NfBlock``), so
+  the codec emits it in that position; ``se`` (timm ``attn_last``) stays
+  after ``conv3``.
+* timm ``vit_tiny_patch16_224`` (``networks.py:668``): the root module's
+  DIRECT parameters lead the pre-order walk — ``cls_token`` then
+  ``pos_embed`` (registration order) BEFORE ``patch_embed`` even though
+  the attribute is assigned after it; then ``patch_embed.proj``, blocks
+  (``norm1``, ``attn.qkv``, ``attn.proj``, ``norm2``, ``mlp.fc1``,
+  ``mlp.fc2``), final ``norm``, ``head``.
+* torchvision/timm ``resnet50`` (``networks.py:674`` fallback):
+  ``conv1``, ``bn1`` (affine weight+bias; running stats are BUFFERS and
+  excluded exactly as ``reparam_module.py:67-74`` excludes them), then
+  layer blocks (``conv1, bn1, conv2, bn2[, conv3, bn3], downsample``
+  LAST — both libraries assign ``downsample`` after the convs, unlike
+  timm NormFreeBlock), then ``fc`` when the head exists.
 * ``ProjectionHead`` (``networks.py:625-646``): ``projection.{weight,
   bias}``, ``fc.{weight,bias}``, ``layer_norm.{weight,bias}``.
 * DC ``ConvNet`` (``networks.py:44-114``): ``features`` =
@@ -230,10 +241,16 @@ def _nf_order(tree: Mapping[str, Any],
         if "downsample_conv" in blk:  # registered before conv1 in timm
             order += _conv_entries(bp + ("downsample_conv",),
                                    blk["downsample_conv"])
-        for c in ("conv1", "conv2", "conv2b", "conv3"):
+        for c in ("conv1", "conv2", "conv2b"):
             if c in blk:
                 order += _conv_entries(bp + (c,), blk[c])
-        if "se" in blk:  # attn_last: after conv3
+        if "se_mid" in blk:  # timm `attn`: mid-block SE (reg models)
+            for f in ("fc1", "fc2"):
+                order.append((bp + ("se_mid", f, "kernel"), "se_fc"))
+                order.append((bp + ("se_mid", f, "bias"), "plain"))
+        if "conv3" in blk:
+            order += _conv_entries(bp + ("conv3",), blk["conv3"])
+        if "se" in blk:  # timm `attn_last`: after conv3
             for f in ("fc1", "fc2"):
                 order.append((bp + ("se", f, "kernel"), "se_fc"))
                 order.append((bp + ("se", f, "bias"), "plain"))
@@ -261,6 +278,91 @@ def _convnet_order(tree: Mapping[str, Any],
     if "classifier" in tree:
         order.append((prefix + ("classifier", "kernel"), "linear"))
         order.append((prefix + ("classifier", "bias"), "plain"))
+    return order
+
+
+_BLOCK_RE = re.compile(r"block(\d+)$")
+_LAYER_RE = re.compile(r"layer(\d+)_block(\d+)$")
+
+
+def _vit_order(tree: Mapping[str, Any],
+               prefix: Tuple[str, ...]) -> List[Tuple[Tuple[str, ...], str]]:
+    """timm VisionTransformer ``parameters()`` order (vit_tiny_patch16_224,
+    ``networks.py:668``): the ROOT module's direct nn.Parameters lead the
+    pre-order walk — cls_token then pos_embed, in registration order —
+    BEFORE patch_embed's conv even though the attribute is assigned
+    earlier; then per block norm1, attn.qkv, attn.proj, norm2, mlp.fc1,
+    mlp.fc2 (timm Block registration), final norm, head."""
+    order: List[Tuple[Tuple[str, ...], str]] = [
+        (prefix + ("cls_token",), "plain"),
+        (prefix + ("pos_embed",), "plain"),
+        (prefix + ("patch_embed", "kernel"), "conv"),
+        (prefix + ("patch_embed", "bias"), "plain"),
+    ]
+    blocks = sorted((k for k in tree if _BLOCK_RE.match(k)),
+                    key=lambda k: int(_BLOCK_RE.match(k).group(1)))
+    for bn in blocks:
+        bp = prefix + (bn,)
+        order += [
+            (bp + ("norm1", "scale"), "plain"),
+            (bp + ("norm1", "bias"), "plain"),
+            (bp + ("attn", "qkv", "kernel"), "linear"),
+            (bp + ("attn", "qkv", "bias"), "plain"),
+            (bp + ("attn", "proj", "kernel"), "linear"),
+            (bp + ("attn", "proj", "bias"), "plain"),
+            (bp + ("norm2", "scale"), "plain"),
+            (bp + ("norm2", "bias"), "plain"),
+            (bp + ("mlp", "fc1", "kernel"), "linear"),
+            (bp + ("mlp", "fc1", "bias"), "plain"),
+            (bp + ("mlp", "fc2", "kernel"), "linear"),
+            (bp + ("mlp", "fc2", "bias"), "plain"),
+        ]
+    order += [(prefix + ("norm", "scale"), "plain"),
+              (prefix + ("norm", "bias"), "plain")]
+    if "head" in tree:
+        order += [(prefix + ("head", "kernel"), "linear"),
+                  (prefix + ("head", "bias"), "plain")]
+    return order
+
+
+def _resnet_order(tree: Mapping[str, Any],
+                  prefix: Tuple[str, ...]) -> List[Tuple[Tuple[str, ...], str]]:
+    """torchvision/timm ResNet ``parameters()`` order (the reference's
+    ``resnet50``/``resnet18`` fallback, ``networks.py:674``): conv1,
+    bn1 affine (weight=scale then bias; running stats are buffers —
+    excluded exactly as ``reparam_module.py:67-74`` excludes them), then
+    per block conv1, bn1, conv2, bn2[, conv3, bn3], downsample LAST
+    (both libraries register it after the convs), then fc when present."""
+    order: List[Tuple[Tuple[str, ...], str]] = []
+
+    def norm(path_):
+        order.append((path_ + ("scale",), "plain"))
+        order.append((path_ + ("bias",), "plain"))
+
+    order.append((prefix + ("conv1", "kernel"), "conv"))
+    if "bias" in tree.get("conv1", {}):
+        order.append((prefix + ("conv1", "bias"), "plain"))
+    norm(prefix + ("bn1",))
+    blocks = sorted((k for k in tree if _LAYER_RE.match(k)),
+                    key=lambda k: tuple(int(x)
+                                        for x in _LAYER_RE.match(k).groups()))
+    for bn in blocks:
+        blk = tree[bn]
+        bp = prefix + (bn,)
+        for ci in ("conv1", "conv2", "conv3"):
+            if ci in blk:
+                order.append((bp + (ci, "kernel"), "conv"))
+                if "bias" in blk[ci]:
+                    order.append((bp + (ci, "bias"), "plain"))
+                norm(bp + (f"bn{ci[-1]}",))
+        if "shortcut_conv" in blk:  # torch `downsample.{0,1}`, registered last
+            order.append((bp + ("shortcut_conv", "kernel"), "conv"))
+            if "bias" in blk["shortcut_conv"]:
+                order.append((bp + ("shortcut_conv", "bias"), "plain"))
+            norm(bp + ("shortcut_bn",))
+    if "fc" in tree:
+        order.append((prefix + ("fc", "kernel"), "linear"))
+        order.append((prefix + ("fc", "bias"), "plain"))
     return order
 
 
@@ -319,9 +421,12 @@ def _build(template: Any,
 def codec_for_image_tower(template: Mapping[str, Any]) -> Optional[TorchOrderCodec]:
     """Codec for ``params["image_encoder"]`` (the ImageTower subtree).
 
-    Returns ``None`` for tower families without an orderer (ViT, CLIP,
-    resnet, convnext) — callers then refuse torch-order files loudly
-    instead of guessing.
+    Covers the NF family (nfnet_l0/nf_resnet50/nf_regnet_b1), the DC
+    ConvNet, timm ViT (vit_tiny_patch16_224) and torchvision/timm
+    ResNet (resnet50/resnet18 fallback) — every tower family Table C
+    trains expert buffers with (``networks.py:666-674``).  Returns
+    ``None`` for families without an orderer (CLIP, convnext) — callers
+    then refuse torch-order files loudly instead of guessing.
     """
     if not isinstance(template, Mapping) or len(template) != 1:
         return None
@@ -333,6 +438,10 @@ def codec_for_image_tower(template: Mapping[str, Any]) -> Optional[TorchOrderCod
         return _build(template, _nf_order(tree, prefix))
     if "conv0" in tree and "classifier" in tree:
         return _build(template, _convnet_order(tree, prefix))
+    if "cls_token" in tree and "patch_embed" in tree:
+        return _build(template, _vit_order(tree, prefix))
+    if "conv1" in tree and any(_LAYER_RE.match(k) for k in tree):
+        return _build(template, _resnet_order(tree, prefix))
     return None
 
 

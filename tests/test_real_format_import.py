@@ -233,10 +233,14 @@ NF_RES_TOY = nfnet_mod.NfConfig(
     group_size=None, bottle_ratio=0.25, extra_conv=False, num_features=0,
     act="relu", attn_rd_ratio=0.0, skipinit=False, num_classes=7)
 
+# reg=True + width_factor: timm _nfreg_cfg semantics at toy scale
+# (mid = make_divisible(in * 2.25) on EVERY block, SE mid-block on the
+# expanded width, 3x3 stem -> stage-0 stride 2)
 NF_REG_TOY = nfnet_mod.NfConfig(
     depths=(1, 2), channels=(16, 24), stem_type="3x3", stem_chs=8,
     group_size=8, bottle_ratio=2.25, extra_conv=False, num_features=48,
-    act="silu", attn_rd_ratio=0.5, skipinit=False, num_classes=7)
+    act="silu", attn_rd_ratio=0.5, skipinit=False, num_classes=7,
+    reg=True, width_factor=0.75)
 
 
 def _tf_same_pad(x, k, s):
@@ -261,11 +265,20 @@ def _std_conv(x, sd, prefix, stride=1, groups=1):
                     groups=groups)
 
 
+def _se_apply(out, sd, prefix, gain):
+    s = out.mean(dim=(2, 3))
+    s = F.relu(F.linear(s, sd[prefix + ".fc1.weight"][:, :, 0, 0],
+                        sd[prefix + ".fc1.bias"]))
+    s = torch.sigmoid(F.linear(s, sd[prefix + ".fc2.weight"][:, :, 0, 0],
+                               sd[prefix + ".fc2.bias"]))
+    return gain * (out * s[:, :, None, None])
+
+
 def _torch_nf_forward(x, sd, cfg):
     """timm NormFreeNet forward semantics generalized over NfConfig
-    (7x7_pool / 3x3 stems, inverted bottleneck, optional SE/head);
-    mirrors models/nfnet.py NfBlock structure — see torch_order.py's
-    nf_regnet SE-position caveat."""
+    (7x7_pool / 3x3 stems, reg inverted bottleneck with mid-block SE
+    [timm `attn`] vs NFNet-style post-conv3 SE [timm `attn_last`],
+    width_factor/make_divisible channel derivation, optional head)."""
     from multimodal_dataset_distillation_tpu.models.layers import NONLIN_GAMMA
 
     gamma = NONLIN_GAMMA[cfg.act]
@@ -286,20 +299,24 @@ def _torch_nf_forward(x, sd, cfg):
         raise NotImplementedError(cfg.stem_type)
 
     expected_std = 1.0
-    for si, (depth, out_chs) in enumerate(zip(cfg.depths, cfg.channels)):
+    stem_stride = 2 if cfg.stem_type == "3x3" else 4
+    for si, (depth, chs) in enumerate(zip(cfg.depths, cfg.channels)):
+        out_chs = nfnet_mod.make_divisible(chs * cfg.width_factor,
+                                           cfg.ch_div)
         for bi in range(depth):
             p = f"stages.{si}.{bi}"
             beta = 1.0 / expected_std
-            stride = (1 if si == 0 else 2) if bi == 0 else 1
+            stage_stride = 1 if si == 0 and stem_stride > 2 else 2
+            stride = stage_stride if bi == 0 else 1
             transition = bi == 0
 
-            if cfg.bottle_ratio >= 1.0:
-                mid = int(round(x.shape[1] * cfg.bottle_ratio))
-            else:
-                mid = int(round(out_chs * cfg.bottle_ratio))
+            ref_chs = int(x.shape[1]) if cfg.reg else out_chs
+            mid = nfnet_mod.make_divisible(ref_chs * cfg.bottle_ratio,
+                                           cfg.ch_div)
             if cfg.group_size:
                 groups = max(1, mid // cfg.group_size)
-                mid = groups * cfg.group_size
+                if cfg.group_size % cfg.ch_div == 0:
+                    mid = groups * cfg.group_size
             else:
                 groups = 1
 
@@ -315,17 +332,12 @@ def _torch_nf_forward(x, sd, cfg):
             out = act(out)
             out = _std_conv(out, sd, p + ".conv2", stride=stride,
                             groups=groups)
+            if cfg.reg and cfg.attn_rd_ratio > 0:
+                out = _se_apply(out, sd, p + ".attn", cfg.attn_gain)
             out = act(out)
             out = _std_conv(out, sd, p + ".conv3")
-            if cfg.attn_rd_ratio > 0:
-                s = out.mean(dim=(2, 3))
-                s = F.relu(F.linear(
-                    s, sd[p + ".attn_last.fc1.weight"][:, :, 0, 0],
-                    sd[p + ".attn_last.fc1.bias"]))
-                s = torch.sigmoid(F.linear(
-                    s, sd[p + ".attn_last.fc2.weight"][:, :, 0, 0],
-                    sd[p + ".attn_last.fc2.bias"]))
-                out = cfg.attn_gain * (out * s[:, :, None, None])
+            if not cfg.reg and cfg.attn_rd_ratio > 0:
+                out = _se_apply(out, sd, p + ".attn_last", cfg.attn_gain)
             x = out * cfg.alpha + shortcut
             if transition:
                 expected_std = 1.0

@@ -89,7 +89,7 @@ def test_rearranged_conv_grads_match(stride, fi, fo, cin, cout):
 # networks.py:670-672): (k, stride, fi, fo, cin, cout)
 OTHER_STEM_GEOMS = [
     (7, 2, 2, 1, 3, 64),   # nf_resnet50 stem_conv (pre-pool)
-    (3, 2, 2, 1, 3, 40),   # nf_regnet_b1 stem_conv
+    (3, 2, 2, 1, 3, 32),   # nf_regnet_b1 stem_conv (40 x wf 0.75 -> 32)
 ]
 
 

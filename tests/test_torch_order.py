@@ -109,6 +109,13 @@ def _mirror_nfnet(tree):
         blk.conv2 = std_conv(blk_tree["conv2"], in_width=mid)
         if "conv2b" in blk_tree:
             blk.conv2b = std_conv(blk_tree["conv2b"], in_width=mid)
+        if "se_mid" in blk_tree:
+            # timm reg blocks register `attn` BETWEEN conv2(b) and conv3
+            se = tnn.Module()
+            c, rd = np.shape(blk_tree["se_mid"]["fc1"]["kernel"])
+            se.fc1 = tnn.Conv2d(c, rd, 1, bias=True)
+            se.fc2 = tnn.Conv2d(rd, c, 1, bias=True)
+            blk.attn = se
         blk.conv3 = std_conv(blk_tree["conv3"])
         out_chs = blk.conv3.out_channels
         if "se" in blk_tree:
@@ -476,3 +483,275 @@ def test_no_codec_write_preserves_0d_shapes(tmp_path):
     assert stored_shapes == leaf_shapes  # 0-d stays 0-d
     codec = codec_for_image_tower(img_template)
     assert codec.identify(stored_shapes) == "native"
+
+
+# ---------------------------------------------------------------------------
+# ViT + ResNet50 families (VERDICT r4 next #2): the reference also trains
+# Table-C expert buffers with `vit` (timm vit_tiny_patch16_224,
+# networks.py:668) and the `resnet` timm fallback (networks.py:674) —
+# mirrors below follow those libraries' registration orders exactly
+# ---------------------------------------------------------------------------
+
+def _t(a):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
+
+
+def _mirror_vit(tree):
+    """timm VisionTransformer registration: patch_embed assigned first,
+    but the ROOT's direct nn.Parameters (cls_token, then pos_embed) lead
+    parameters() anyway — the pre-order walk yields a module's direct
+    params before any submodule's."""
+    root = tnn.Module()
+    pe = tnn.Module()
+    kh, kw, cin, cout = np.shape(tree["patch_embed"]["kernel"])
+    pe.proj = tnn.Conv2d(cin, cout, kh, stride=kh)
+    root.patch_embed = pe
+    root.cls_token = tnn.Parameter(torch.zeros(*np.shape(tree["cls_token"])))
+    root.pos_embed = tnn.Parameter(torch.zeros(*np.shape(tree["pos_embed"])))
+    C = np.shape(tree["cls_token"])[-1]
+    nblocks = sum(1 for k in tree if k.startswith("block"))
+    blocks = []
+    for i in range(nblocks):
+        bt = tree[f"block{i}"]
+        b = tnn.Module()
+        b.norm1 = tnn.LayerNorm(C)
+        attn = tnn.Module()
+        attn.qkv = tnn.Linear(C, np.shape(bt["attn"]["qkv"]["kernel"])[1])
+        attn.proj = tnn.Linear(C, C)
+        b.attn = attn
+        b.norm2 = tnn.LayerNorm(C)
+        mlp = tnn.Module()
+        hidden = np.shape(bt["mlp"]["fc1"]["kernel"])[1]
+        mlp.fc1 = tnn.Linear(C, hidden)
+        mlp.fc2 = tnn.Linear(hidden, C)
+        b.mlp = mlp
+        blocks.append(b)
+    root.blocks = tnn.Sequential(*blocks)
+    root.norm = tnn.LayerNorm(C)
+    if "head" in tree:
+        root.head = tnn.Linear(*np.shape(tree["head"]["kernel"]))
+    return root
+
+
+def _load_vit(mirror, tree):
+    def lin(dst, t):
+        with torch.no_grad():
+            dst.weight.copy_(_t(t["kernel"]).T)
+            dst.bias.copy_(_t(t["bias"]))
+
+    with torch.no_grad():
+        mirror.cls_token.copy_(_t(tree["cls_token"]))
+        mirror.pos_embed.copy_(_t(tree["pos_embed"]))
+        mirror.patch_embed.proj.weight.copy_(
+            _t(np.transpose(tree["patch_embed"]["kernel"], (3, 2, 0, 1))))
+        mirror.patch_embed.proj.bias.copy_(_t(tree["patch_embed"]["bias"]))
+        for i, b in enumerate(mirror.blocks):
+            bt = tree[f"block{i}"]
+            for nm in ("norm1", "norm2"):
+                getattr(b, nm).weight.copy_(_t(bt[nm]["scale"]))
+                getattr(b, nm).bias.copy_(_t(bt[nm]["bias"]))
+            lin(b.attn.qkv, bt["attn"]["qkv"])
+            lin(b.attn.proj, bt["attn"]["proj"])
+            lin(b.mlp.fc1, bt["mlp"]["fc1"])
+            lin(b.mlp.fc2, bt["mlp"]["fc2"])
+        mirror.norm.weight.copy_(_t(tree["norm"]["scale"]))
+        mirror.norm.bias.copy_(_t(tree["norm"]["bias"]))
+        if hasattr(mirror, "head"):
+            lin(mirror.head, tree["head"])
+
+
+def _mirror_resnet(tree):
+    """torchvision/timm ResNet registration: conv1, bn1, layers (blocks:
+    conv1,bn1,conv2,bn2[,conv3,bn3], downsample LAST), fc."""
+    import re as _re
+
+    root = tnn.Module()
+    kh, kw, cin, cout = np.shape(tree["conv1"]["kernel"])
+    root.conv1 = tnn.Conv2d(cin, cout, kh, stride=2, bias=False)
+    root.bn1 = tnn.BatchNorm2d(cout)
+    names = sorted((k for k in tree if _re.match(r"layer\d+_block\d+$", k)),
+                   key=lambda k: tuple(int(x) for x in _re.findall(r"\d+", k)))
+    n_layers = max(int(_re.findall(r"\d+", k)[0]) for k in names)
+    layers = [tnn.Sequential() for _ in range(n_layers)]
+    for bn in names:
+        bt = tree[bn]
+        li = int(_re.findall(r"\d+", bn)[0]) - 1
+        b = tnn.Module()
+        for ci in ("conv1", "conv2", "conv3"):
+            if ci in bt:
+                kh, kw, cin, cout = np.shape(bt[ci]["kernel"])
+                setattr(b, ci, tnn.Conv2d(cin, cout, kh, bias=False))
+                setattr(b, f"bn{ci[-1]}", tnn.BatchNorm2d(cout))
+        if "shortcut_conv" in bt:
+            kh, kw, cin, cout = np.shape(bt["shortcut_conv"]["kernel"])
+            b.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, kh, bias=False), tnn.BatchNorm2d(cout))
+        layers[li].append(b)
+    for li, seq in enumerate(layers):
+        setattr(root, f"layer{li + 1}", seq)
+    if "fc" in tree:
+        root.fc = tnn.Linear(*np.shape(tree["fc"]["kernel"]))
+    return root
+
+
+def _load_resnet(mirror, tree):
+    import re as _re
+
+    def put_conv(dst, t):
+        with torch.no_grad():
+            dst.weight.copy_(_t(np.transpose(t["kernel"], (3, 2, 0, 1))))
+
+    def put_bn(dst, t):
+        with torch.no_grad():
+            dst.weight.copy_(_t(t["scale"]))
+            dst.bias.copy_(_t(t["bias"]))
+
+    put_conv(mirror.conv1, tree["conv1"])
+    put_bn(mirror.bn1, tree["bn1"])
+    for bn in (k for k in tree if _re.match(r"layer\d+_block\d+$", k)):
+        li, bi = (int(x) for x in _re.findall(r"\d+", bn))
+        b = getattr(mirror, f"layer{li}")[bi]
+        for ci in ("conv1", "conv2", "conv3"):
+            if ci in tree[bn]:
+                put_conv(getattr(b, ci), tree[bn][ci])
+                put_bn(getattr(b, f"bn{ci[-1]}"), tree[bn][f"bn{ci[-1]}"])
+        if "shortcut_conv" in tree[bn]:
+            put_conv(b.downsample[0], tree[bn]["shortcut_conv"])
+            put_bn(b.downsample[1], tree[bn]["shortcut_bn"])
+    if "fc" in tree:
+        with torch.no_grad():
+            mirror.fc.weight.copy_(_t(tree["fc"]["kernel"]).T)
+            mirror.fc.bias.copy_(_t(tree["fc"]["bias"]))
+
+
+def _tower_template(name, size):
+    from multimodal_dataset_distillation_tpu.models.zoo import ImageTower
+
+    t = ImageTower(name)
+    v = t.init(jax.random.PRNGKey(0), __import__("jax").numpy.zeros(
+        (1, size, size, 3)))
+    return v["params"]
+
+
+@pytest.mark.parametrize("name,size,mirror_fn,load_fn", [
+    ("vit", 224, _mirror_vit, _load_vit),
+    ("resnet50", 32, _mirror_resnet, _load_resnet),
+    ("resnet18_gn", 32, _mirror_resnet, _load_resnet),
+    ("nf_regnet", 64, _mirror_nfnet, None),  # timm-faithful mid-SE regnet
+])
+def test_family_reference_buffer_bit_exact(tmp_path, name, size, mirror_fn,
+                                           load_fn):
+    """Reference-style buffers (snapshots = mirror.parameters() in torch
+    order) load bit-exactly through the codec, and our .pt round-trips
+    under the mirror's parameters() walk — both directions, per family."""
+    template = _tower_template(name, size)
+    (inner_key,) = template.keys()
+    tree = template[inner_key]
+    traj = _perturbed_trajectory(template, steps=2, seed=3)
+
+    if name == "nf_regnet":
+        def load_weights(mirror, snap):
+            sd = nfnet_params_to_timm(snap[inner_key], depths=(2, 4, 7, 7),
+                                      stem_convs=1)
+            mirror.load_state_dict(
+                {k: _t(v) for k, v in sd.items()}, strict=True)
+
+        factory = lambda: _mirror_nfnet(tree)  # noqa: E731
+    else:
+        def load_weights(mirror, snap):
+            load_fn(mirror, snap[inner_key])
+
+        factory = lambda: mirror_fn(tree)  # noqa: E731
+
+    path = os.path.join(tmp_path, "img_replay_buffer_0.pt")
+    _reference_style_save(path, factory, load_weights, traj)
+
+    codec = codec_for_image_tower(template)
+    assert codec is not None, f"no codec for {name}"
+    loaded = load_buffer(path, codec)
+    control = np.stack([flatten_snapshot(s) for s in traj])
+    np.testing.assert_array_equal(loaded[0], control)
+
+    # reverse: our codec-written .pt == the mirror's parameters() order
+    save_expert(str(tmp_path / "rev"), [template], [
+        {"projection": {"kernel": np.zeros((4, 4), np.float32),
+                        "bias": np.zeros(4, np.float32)},
+         "fc": {"kernel": np.zeros((4, 4), np.float32),
+                "bias": np.zeros(4, np.float32)},
+         "layer_norm": {"scale": np.ones(4, np.float32),
+                        "bias": np.zeros(4, np.float32)}}],
+        write_npz=False)
+    mirror = factory()
+    load_weights(mirror, template)
+    expected = [p.detach().cpu() for p in mirror.parameters()]
+    payload = torch.load(
+        os.path.join(tmp_path, "rev", "img_replay_buffer_0.pt"),
+        weights_only=False)
+    stored = payload[0][0]
+    assert [tuple(t.shape) for t in stored] == \
+        [tuple(t.shape) for t in expected], name
+    for s_, e_ in zip(stored, expected):
+        np.testing.assert_array_equal(s_.numpy(), e_.numpy())
+
+
+# ---------------------------------------------------------------------------
+# codec signature disjointness (VERDICT r4 next #6): identify() can never
+# mis-classify — for every supported family/config the torch and native
+# shape signatures differ (0-d-normalized), and wrong-tower files refuse
+# ---------------------------------------------------------------------------
+
+def _norm_sig(sig):
+    return [tuple(s) if s else (1,) for s in sig]
+
+
+_DISJOINT_CASES = [
+    ("nf_tiny", 32), ("convnet_tiny", 16), ("vit", 224),
+    ("resnet50", 32), ("resnet18_gn", 32), ("nf_regnet", 64),
+    ("nf_resnet50", 64), ("nfnet", 32),
+]
+
+
+@pytest.mark.parametrize("name,size", _DISJOINT_CASES)
+@pytest.mark.slow
+def test_codec_signature_disjoint_towers(name, size):
+    template = _tower_template(name, size)
+    codec = codec_for_image_tower(template)
+    assert codec is not None
+    assert _norm_sig(codec.torch_shapes) != _norm_sig(codec.flax_shapes), name
+    # identify is exact on both
+    assert codec.identify(codec.torch_shapes) == "torch"
+    assert codec.identify(codec.flax_shapes) == "native"
+
+
+@pytest.mark.parametrize("emb,proj", [(768, 128), (128, 128), (64, 64)])
+def test_codec_signature_disjoint_projection(emb, proj):
+    """Square projection dims are the adversarial case: every tensor
+    SHAPE coincides between layouts, and only the sequence ordering
+    (alphabetical ravel vs registration) separates the signatures."""
+    tree = {"projection": {"kernel": np.zeros((emb, proj), np.float32),
+                           "bias": np.zeros(proj, np.float32)},
+            "fc": {"kernel": np.zeros((proj, proj), np.float32),
+                   "bias": np.zeros(proj, np.float32)},
+            "layer_norm": {"scale": np.ones(proj, np.float32),
+                           "bias": np.zeros(proj, np.float32)}}
+    codec = codec_for_projection(tree)
+    assert _norm_sig(codec.torch_shapes) != _norm_sig(codec.flax_shapes)
+    assert codec.identify(codec.torch_shapes) == "torch"
+    assert codec.identify(codec.flax_shapes) == "native"
+
+
+@pytest.mark.parametrize("wrong", ["vit", "resnet18_gn", "convnet_tiny"])
+def test_wrong_tower_file_refuses_across_families(tmp_path, wrong):
+    """A torch-order buffer from one family must raise (not permute) when
+    loaded with another family's codec."""
+    wrong_template = _tower_template(wrong, 224 if wrong == "vit" else 16)
+    wrong_codec = codec_for_image_tower(wrong_template)
+    tensors = wrong_codec.torch_from_flat(
+        flatten_snapshot(wrong_template))
+    path = os.path.join(tmp_path, "img_replay_buffer_0.pt")
+    torch.save([[[torch.from_numpy(np.array(t)) for t in tensors]]], path)
+
+    _, _, variables = _nf_setup()
+    nf_codec = codec_for_image_tower(variables["params"]["image_encoder"])
+    with pytest.raises(ValueError, match="shape signature"):
+        load_buffer(path, nf_codec)
