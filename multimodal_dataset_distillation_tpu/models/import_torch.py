@@ -218,6 +218,63 @@ def vit_params_from_timm(sd: Mapping[str, Any],
     return params
 
 
+def resnet_params_from_torch(sd: Mapping[str, Any]) -> "Tuple[Dict[str, Any], Dict[str, Any]]":
+    """Map a torchvision/timm ResNet state dict (``resnet50``/``resnet18``
+    — the reference ImageEncoder fallback, ``networks.py:674``) onto
+    :mod:`~.resnet`'s Flax tree.
+
+    Returns ``(params, batch_stats)``: BN affine (weight/bias ->
+    scale/bias) lands in params; the running statistics — which torch
+    treats as buffers and the reference EXCLUDES from trajectories
+    (``reparam_module.py:67-74``) — land in the ``batch_stats``
+    collection so a pretrained tower evaluates identically under
+    ``train=False``.  Naming: ``layer{L}.{i}.*`` -> ``layer{L}_block{i}``,
+    ``downsample.{0,1}`` -> ``shortcut_conv``/``shortcut_bn``.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(prefix):
+        return {"kernel": np.transpose(_np(sd[prefix + ".weight"]),
+                                       (2, 3, 1, 0))}
+
+    def bn(prefix, pdst, sdst, name):
+        pdst[name] = {"scale": _np(sd[prefix + ".weight"]).reshape(-1),
+                      "bias": _np(sd[prefix + ".bias"]).reshape(-1)}
+        if prefix + ".running_mean" in sd:
+            sdst[name] = {
+                "mean": _np(sd[prefix + ".running_mean"]).reshape(-1),
+                "var": _np(sd[prefix + ".running_var"]).reshape(-1)}
+
+    params["conv1"] = conv("conv1")
+    bn("bn1", params, stats, "bn1")
+    li = 1
+    while f"layer{li}.0.conv1.weight" in sd:
+        bi = 0
+        while f"layer{li}.{bi}.conv1.weight" in sd:
+            p = f"layer{li}.{bi}"
+            name = f"layer{li}_block{bi}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            for ci in ("conv1", "conv2", "conv3"):
+                if f"{p}.{ci}.weight" in sd:
+                    blk_p[ci] = conv(f"{p}.{ci}")
+                    bn(f"{p}.bn{ci[-1]}", blk_p, blk_s, f"bn{ci[-1]}")
+            if f"{p}.downsample.0.weight" in sd:
+                blk_p["shortcut_conv"] = conv(f"{p}.downsample.0")
+                bn(f"{p}.downsample.1", blk_p, blk_s, "shortcut_bn")
+            params[name] = blk_p
+            if blk_s:
+                stats[name] = blk_s
+            bi += 1
+        li += 1
+    if "fc.weight" in sd:
+        params["fc"] = {
+            "kernel": np.ascontiguousarray(_np(sd["fc.weight"]).T),
+            "bias": _np(sd["fc.bias"]).reshape(-1)}
+    return params, stats
+
+
 def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
                              arch: str = "nfnet") -> Dict[str, Any]:
     """Return a copy of bi-encoder ``variables`` with the image tower
@@ -235,10 +292,13 @@ def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
                           extra_conv=False, has_se=True, has_skipinit=False,
                           has_final_conv=True, num_classes=1000),
     }
+    mapped_stats = None
     if arch in ("vit", "vit_tiny"):
         depth = 1 + max((int(k.split(".")[1]) for k in sd
                          if k.startswith("blocks.")), default=-1)
         mapped = vit_params_from_timm(sd, depth=depth)
+    elif arch in ("resnet50", "resnet18"):
+        mapped, mapped_stats = resnet_params_from_torch(sd)
     else:
         mapped = nfnet_params_from_timm(sd, **arch_kw[arch])
 
@@ -264,6 +324,12 @@ def load_image_tower_weights(variables: Dict[str, Any], sd: Mapping[str, Any],
                 dst[k] = np.asarray(v, have.dtype)
 
     merge(template, mapped)
+    if mapped_stats and "batch_stats" in new_vars:
+        # BN running statistics: buffers on the torch side (excluded
+        # from trajectories, reparam_module.py:67-74) -> flax
+        # batch_stats collection, so eval under train=False matches
+        merge(new_vars["batch_stats"]["image_encoder"][inner_key],
+              mapped_stats)
     return new_vars
 
 
@@ -274,6 +340,9 @@ _TIMM_CKPT_NAMES = {
     "nfnet": ("nfnet_l0_ra2-45c6688d.pth",),
     "nf_resnet50": ("nf_resnet50_ra2-9f236009.pth",),
     "nf_regnet": ("nf_regnet_b1_256_ra2-ad85cfef.pth",),
+    # reference fallback towers (networks.py:674) — timm 0.6.x hub names
+    "resnet50": ("resnet50_a1_0-14fe96d1.pth", "resnet50_ram-a26f946b.pth"),
+    "resnet18": ("resnet18-5c106cde.pth",),
     # vit_tiny ships via augreg npz/HF in recent timm; no stable hub
     # filename to scan for — point $MDD_TIMM_CKPT_VIT at a torch-format
     # state dict instead (vit_params_from_timm consumes timm naming)

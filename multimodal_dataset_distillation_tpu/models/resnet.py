@@ -47,14 +47,19 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         mk = _make_norm(self.norm)
         s = 1 if self.avg_pool_down else self.stride
-        out = nn.Conv(self.planes, (3, 3), strides=(s, s), padding="SAME",
+        # explicit (1,1) padding = torchvision Conv2d(padding=1): same as
+        # "SAME" at stride 1, but at stride 2 "SAME" pads (0,1) while
+        # torch pads symmetrically — explicit keeps pretrained imports
+        # (import_torch.resnet_params_from_torch) numerically aligned
+        out = nn.Conv(self.planes, (3, 3), strides=(s, s),
+                      padding=[(1, 1), (1, 1)],
                       use_bias=False, name="conv1")(x)
         out = _apply(mk(self.planes, "bn1"), out, train)
         out = jax.nn.relu(out)
         if self.avg_pool_down and self.stride != 1:
             out = nn.avg_pool(out, (2, 2), (self.stride, self.stride))
-        out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
-                      name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False, name="conv2")(out)
         out = _apply(mk(self.planes, "bn2"), out, train)
         short = x
         if self.stride != 1 or x.shape[-1] != self.planes:
@@ -86,7 +91,8 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = jax.nn.relu(_apply(mk(self.planes, "bn1"), out, train))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False, name="conv2")(out)
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      name="conv2")(out)
         out = jax.nn.relu(_apply(mk(self.planes, "bn2"), out, train))
         out = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(out)
         out = _apply(mk(out_ch, "bn3"), out, train)
@@ -115,9 +121,12 @@ class ResNet(nn.Module):
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                         use_bias=False, name="conv1")(x)
             x = jax.nn.relu(_apply(mk(64, "bn1"), x, train))
-            x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+            # torch MaxPool2d(3, 2, padding=1): symmetric pad (SAME would
+            # pad (0,1) on even inputs — different window alignment)
+            x = nn.max_pool(x, (3, 3), (2, 2),
+                            [(1, 1), (1, 1)])
         else:
-            x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
+            x = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                         name="conv1")(x)
             x = jax.nn.relu(_apply(mk(64, "bn1"), x, train))
         planes = (64, 128, 256, 512)

@@ -396,3 +396,107 @@ def test_nf_family_import_from_timm_named_state_dict(cfg, stem_key):
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
                                  deterministic=True))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# torchvision/timm ResNet import (the reference's `resnet50` fallback,
+# networks.py:674): BN affine -> params, running stats -> batch_stats;
+# forward parity against an independent torch functional oracle
+# ---------------------------------------------------------------------------
+
+def _torch_resnet_forward(x, sd):
+    """torchvision resnet bottleneck forward (eval-mode BN), functional."""
+    import re as _re
+
+    def bnorm(t, p):
+        w, b = sd[p + ".weight"], sd[p + ".bias"]
+        rm, rv = sd[p + ".running_mean"], sd[p + ".running_var"]
+        return ((t - rm[None, :, None, None])
+                / torch.sqrt(rv[None, :, None, None] + 1e-5)
+                * w[None, :, None, None] + b[None, :, None, None])
+
+    x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bnorm(x, "bn1"))
+    x = F.max_pool2d(x, 3, 2, padding=1)
+    li = 1
+    while f"layer{li}.0.conv1.weight" in sd:
+        bi = 0
+        while f"layer{li}.{bi}.conv1.weight" in sd:
+            p = f"layer{li}.{bi}"
+            stride = 2 if (li > 1 and bi == 0) else 1
+            out = F.relu(bnorm(F.conv2d(x, sd[p + ".conv1.weight"]),
+                               p + ".bn1"))
+            out = F.relu(bnorm(
+                F.conv2d(out, sd[p + ".conv2.weight"], stride=stride,
+                         padding=1), p + ".bn2"))
+            out = bnorm(F.conv2d(out, sd[p + ".conv3.weight"]), p + ".bn3")
+            if f"{p}.downsample.0.weight" in sd:
+                short = bnorm(F.conv2d(x, sd[p + ".downsample.0.weight"],
+                                       stride=stride), p + ".downsample.1")
+            else:
+                short = x
+            x = F.relu(out + short)
+            bi += 1
+        li += 1
+    feats = x.mean(dim=(2, 3))
+    return F.linear(feats, sd["fc.weight"], sd["fc.bias"])
+
+
+def test_resnet_import_from_torch_state_dict():
+    from multimodal_dataset_distillation_tpu.models import resnet as resnet_mod
+    from multimodal_dataset_distillation_tpu.models.import_torch import (
+        resnet_params_from_torch,
+    )
+
+    model = resnet_mod.ResNet("bottleneck", (1, 1, 1, 1), num_classes=7,
+                              norm="batchnorm", imagenet_stem=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # fabricate a torch-named state dict with matching shapes, fresh
+    # torch values (transposition errors cannot hide)
+    g = torch.Generator().manual_seed(7)
+    sd = {}
+    _TORCH_NAMES = {"shortcut_conv": "downsample.0",
+                    "shortcut_bn": "downsample.1"}
+
+    def put_tree(tree, prefix=""):
+        for k, a in tree.items():
+            tname = _TORCH_NAMES.get(k, k)
+            tname = tname.replace("_block", ".") if k.startswith("layer") \
+                else tname
+            if isinstance(a, dict):
+                put_tree(a, prefix + tname + ".")
+                continue
+            shape = np.shape(a)
+            if k == "kernel" and len(shape) == 4:
+                sd[prefix + "weight"] = torch.randn(
+                    (shape[3], shape[2], shape[0], shape[1]),
+                    generator=g) * 0.1
+            elif k == "kernel":
+                sd[prefix + "weight"] = torch.randn(
+                    (shape[1], shape[0]), generator=g) * 0.1
+            elif k == "scale":
+                sd[prefix + "weight"] = 1 + 0.2 * torch.randn(shape,
+                                                              generator=g)
+            else:
+                sd[prefix + "bias"] = torch.randn(shape, generator=g) * 0.1
+
+    put_tree(v["params"])
+    # running stats for every bn
+    for k in list(sd):
+        if k.endswith("weight") and sd[k].ndim == 1:
+            base = k[: -len(".weight")]
+            sd[base + ".running_mean"] = torch.randn(
+                sd[k].shape, generator=g) * 0.1
+            sd[base + ".running_var"] = (
+                1 + 0.2 * torch.randn(sd[k].shape, generator=g)).abs()
+
+    x = np.random.RandomState(11).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_resnet_forward(
+            torch.from_numpy(x.transpose(0, 3, 1, 2).copy()), sd).numpy()
+
+    params, stats = resnet_params_from_torch(
+        {k: t.numpy() for k, t in sd.items()})
+    got = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                 jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
