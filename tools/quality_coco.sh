@@ -36,13 +36,13 @@ python "$REPO/buffer.py" $COMMON --image_encoder=convnet \
 echo "== phase 2: distill on the COCO loader =="
 python "$REPO/distill.py" $COMMON --image_encoder=convnet \
   --num_queries=16 --mini_batch_size=16 --syn_steps=4 --expert_epochs=2 \
-  --max_start_epoch=6 --Iteration=300 --eval_it=300 --num_eval=1 \
+  --max_start_epoch=6 --Iteration=${ITERS:-300} --eval_it=${ITERS:-300} --num_eval=1 \
   --epoch_eval_train=4 --batch_train=16 \
   --buffer_path=./buffers/coco/convnet/bert \
   --save_dir=./logged_files --draw True \
   --lr_img=10 --lr_txt=10 --lr_lr=1e-6
 
-NPZ=$(ls ./logged_files/coco/*/distilled_300.npz | head -1)
+NPZ=$(ls ./logged_files/coco/*/distilled_${ITERS:-300}.npz | head -1)
 INIT=$(ls ./logged_files/coco/*/distilled_0.npz | head -1)
 echo "== distilled: $NPZ  init: $INIT =="
 
