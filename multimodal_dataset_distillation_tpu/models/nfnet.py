@@ -16,7 +16,9 @@ Without Normalization", 2021):
   * variance-preserving activations ``gamma * act(x)``
   * residual branches scaled by ``beta = 1/expected_std`` on entry and
     ``alpha`` on exit, with ``expected_std`` bookkeeping across blocks
-  * SE attention (applied after the final 1x1 conv, doubled)
+  * SE attention, doubled — after conv3 on NFNet-style blocks (timm
+    ``attn_last``), MID-block on the expanded width for reg-style
+    models (timm ``attn``; our ``se_mid``)
   * optional skip-init gain (zero-init scalar per block)
 
 All shapes NHWC; convs/matmuls sized for the MXU (channel counts are
