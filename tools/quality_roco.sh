@@ -22,7 +22,7 @@ REPO=$(pwd)
 WORK=${WORK:-/tmp/quality_roco}
 rm -rf "$WORK" && mkdir -p "$WORK"
 
-python "$REPO/tools/make_fixtures.py" roco "$WORK/fixture" 64
+python "$REPO/tools/make_fixtures.py" roco "$WORK/fixture" 256
 cd "$WORK"
 
 COMMON="--dataset=roco --image_root=$WORK/fixture/images \
@@ -32,13 +32,13 @@ COMMON="--dataset=roco --image_root=$WORK/fixture/images \
 
 echo "== phase 1: ROCO expert buffers (buffer_roco.py, convnet tower) =="
 python "$REPO/buffer_roco.py" $COMMON --image_encoder=convnet \
-  --num_experts=3 --train_epochs=8 --batch_size_train=32 \
+  --num_experts=3 --train_epochs=${TEPOCHS:-8} --batch_size_train=32 \
   --buffer_path=./buffers --lr_teacher_img=0.1 --lr_teacher_txt=0.1
 
 echo "== phase 2: distill on the ROCO loader =="
 python "$REPO/distill.py" $COMMON --image_encoder=convnet \
   --num_queries=16 --mini_batch_size=16 --syn_steps=4 --expert_epochs=2 \
-  --max_start_epoch=6 --Iteration=${ITERS:-300} --eval_it=${ITERS:-300} --num_eval=1 \
+  --max_start_epoch=${MSE:-6} --Iteration=${ITERS:-300} --eval_it=${ITERS:-300} --num_eval=1 \
   --epoch_eval_train=4 --batch_train=16 \
   --buffer_path=./buffers/roco/convnet/bert \
   --save_dir=./logged_files --draw True \
@@ -61,7 +61,7 @@ EOF
 for SET in "$NPZ" "$INIT" ./random_control.npz; do
   echo "== eval: $SET =="
   python "$REPO/eval_distilled.py" $COMMON --image_encoder=convnet \
-    --distilled_npz="$SET" --num_eval=3 --epoch_eval_train=4 \
+    --distilled_npz="$SET" --num_eval=${NEVAL:-3} --epoch_eval_train=${EEPOCHS:-4} \
     --batch_train=16 --std True --parallel_eval False
 done
 echo "== done; artifacts in $WORK =="
