@@ -1,14 +1,23 @@
 #!/bin/bash
-# Production-length flagship soak (round 3): NFNet-L0 @ 224², nq=100,
-# syn_steps=8, mb=100 — 2000 outer iterations (5x the previous 400-iter
-# soak, QUALITY.md) against a SIX-expert buffer, so the trajectory
-# rotation overflows the 4-slot device cache every cycle and the
-# --traj_prefetch overlap path runs for real on the tunnel.
+# Production-length flagship soak: NFNet-L0 @ 224², nq=100, syn_steps=8,
+# mb=100 — 2000 outer iterations against a SIX-expert buffer, so the
+# trajectory rotation overflows the 4-slot device cache every cycle and
+# the --traj_prefetch overlap path runs for real.
 #
-# Phase 0 A/Bs 60 iters with prefetch off/on at equal state to record
-# the rotation-miss stall it hides; phase 2 is the long soak itself.
-# Runtime on v5e-1: buffer ~20 min (one compile, trainer reused across
-# the 6 experts), A/B ~2x4 min, soak ~90 min.  Run solo on the chip.
+# Phase 0 A/Bs AB_ITERS iters with prefetch off/on at equal state to
+# record the rotation-miss stall it hides; phase 2 is the long soak.
+#
+# RUN RECORD (round 5, v5e-1 behind the axon tunnel — QUALITY.md):
+# every rotation miss re-uploads a ~715 MB trajectory at ~25 MB/s, so
+# the miss costs ~30-40 s and the A/B measured OFF 39.7 s/step vs ON
+# 17.8 s/step (2.23x, bit-identical losses).  On such a tunnel host a
+# 2000-iter 6-expert rotation is transfer-bound (~17 h) — phase 2
+# therefore runs with SOAK_MAX_FILES=3 cache-resident experts (the
+# production regime; set SOAK_MAX_FILES= empty on a PCIe-local TPU-VM
+# to soak the full rotation).  AB_ITERS=15 was used for the same
+# reason (60 iters x 40 s exceeded the phase timeout).
+# Runtime on v5e-1: buffer ~40 min, A/B 2x(compile+AB_ITERS*step),
+# soak ~90 min.  Run solo on the chip.
 set -e
 OUT=${1:-/tmp/quality_soak2000}
 mkdir -p "$OUT" && cd "$OUT"
@@ -33,19 +42,22 @@ DISTILL="$COMMON --num_queries=100 --mini_batch_size=100 \
 # Outer LRs are the QUALITY.md values (see quality_nfnet.sh's note on
 # why the paper's Flickr LRs diverge on this offline landscape).
 
-echo "=== phase 0a: 60-iter rotation A/B, prefetch OFF ==="
+AB_ITERS=${AB_ITERS:-15}
+echo "=== phase 0a: ${AB_ITERS}-iter rotation A/B, prefetch OFF ==="
 timeout 3600 python /root/repo/distill.py $DISTILL \
-  --Iteration=60 --eval_it=1000 --num_eval=0 \
+  --Iteration=$AB_ITERS --eval_it=10000 --num_eval=0 \
   --save_dir=./ab_off --traj_prefetch False
 
-echo "=== phase 0b: 60-iter rotation A/B, prefetch ON ==="
+echo "=== phase 0b: ${AB_ITERS}-iter rotation A/B, prefetch ON ==="
 timeout 3600 python /root/repo/distill.py $DISTILL \
-  --Iteration=60 --eval_it=1000 --num_eval=0 \
+  --Iteration=$AB_ITERS --eval_it=10000 --num_eval=0 \
   --save_dir=./ab_on --traj_prefetch True
 
 echo "=== phase 2: 2000-iteration soak (eval every 250) ==="
+SOAK_FILES=${SOAK_MAX_FILES:-3}
 timeout 14400 python /root/repo/distill.py $DISTILL \
   --Iteration=2000 --eval_it=250 --num_eval=2 --epoch_eval_train=4 \
+  ${SOAK_FILES:+--max_files=$SOAK_FILES} \
   --save_dir=./logged_files
 
 echo "=== done; artifacts in $OUT ==="
